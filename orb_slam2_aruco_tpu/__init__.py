@@ -1,0 +1,21 @@
+"""orb_slam2_aruco_tpu — a TPU-native monocular SLAM engine with ArUco fiducials.
+
+A brand-new JAX/XLA/Pallas implementation of the capabilities of
+ORB_SLAM2_aruco (CarminLiu/ORB_SLAM2_aruco): ORB-feature visual SLAM extended
+with ArUco square fiducial markers as first-class SE3 landmarks, giving metric
+scale, drift correction, and an appearance-independent tracking /
+relocalization / loop-closure signal.
+
+Design stance (not a port):
+  * one functional core — the world map is a pytree of fixed-capacity arrays
+    with validity masks, advanced by jitted steps;
+  * batched Levenberg–Marquardt with Schur complement replaces g2o;
+  * Pallas/XLA kernels (FAST corners, oriented BRIEF, MXU Hamming matching,
+    ArUco detection/decoding, IPPE planar pose) replace the per-pixel C++;
+  * multi-chip scaling via jax.sharding Mesh + collectives replaces the
+    4-thread/mutex fabric of the reference (reference: src/System.cc:96-108).
+"""
+
+__version__ = "0.1.0"
+
+from orb_slam2_aruco_tpu.config import SlamConfig  # noqa: F401
