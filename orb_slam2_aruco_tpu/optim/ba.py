@@ -234,9 +234,10 @@ def ba_solve(
         # Dense-W formulation (local BA: K<=~100, L<=~12k -> W is [6K, 3L]
         # ~ 600 x 36000 f32 = 86 MB; acceptable on HBM, matmuls on MXU):
         Yl = jnp.einsum("fij,fjk->fik", Wcp, Hpp_inv[p.e_pt])  # [E, 6, 3]
-        # S_pairs: for point l, S -= (sum_e1 Y) ... requires pairing; build
-        # dense W matrices with scatter:
-        E = p.e_kf.shape[0]
+        # The pairwise Schur term needs, for each point, the product of every
+        # pair of observing cameras' coupling blocks. Build dense per-(camera,
+        # point) block matrices by scatter, then one big MXU contraction over
+        # the point axis: S_cc = -Y W^T. [K, L, 6, 3] each.
         L = points.shape[0]
         Wmat = jnp.zeros((K, L, 6, 3), dtype=r_e.dtype)
         Wmat = Wmat.at[p.e_kf, p.e_pt].add(Wcp)
@@ -244,10 +245,7 @@ def ba_solve(
         Ymat = Ymat.at[p.e_kf, p.e_pt].add(Yl)
         Wmat = maybe_psum(Wmat)
         Ymat = maybe_psum(Ymat)
-        # S_cc = Hcc - Y W^T contracted over points: [K, K, 6, 6]
-        S_cc = -jnp.einsum("alik,blj k->abij", Ymat, Wmat) if False else -jnp.einsum(
-            "alik,bljk->abij", Ymat, Wmat
-        )
+        S_cc = -jnp.einsum("alik,bljk->abij", Ymat, Wmat)  # [K, K, 6, 6]
         Hcc = maybe_psum(Hcc)
         bc = maybe_psum(bc)
         Hmm = maybe_psum(Hmm)
