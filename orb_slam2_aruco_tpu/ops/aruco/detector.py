@@ -1,0 +1,263 @@
+"""TPU-native ArUco marker detector.
+
+Replaces the reference's vendored aruco::MarkerDetector (macro-obfuscated
+markerdetector_impl.cpp; pipeline reproduced from the ArUco3 paper per
+SURVEY.md §2.2): adaptive threshold -> contour polygons -> quad filter ->
+fronto-parallel warp -> bit decode -> dictionary lookup -> pose (IPPE).
+
+TPU reformulation — no contour following, no dynamic shapes:
+  1. adaptive threshold: box filter (MXU) + compare          [H, W]
+  2. connected components: iterative 3x3 label min-propagation (VPU); blob
+     statistics via segment reductions keyed by root label
+  3. quad corners per blob: 4 extremal-point reductions (farthest-from-
+     centroid, farthest-from-that, extremes across the diagonal)
+  4. top-K blob compaction by area -> fixed [K, 4, 2] quad candidates
+  5. batched 4-pt homography + bilinear warp to a bit grid    [K, G, G]
+  6. cell means -> border check + soft bits -> dictionary matmul decode
+  7. corner canonicalization from the decoded rotation
+Pose (IPPE + ambiguity gate) is applied by the caller (pipeline/frontend.py)
+using geometry/ippe.py.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from orb_slam2_aruco_tpu.ops.aruco.dictionary import decode_bits, get_dictionary
+from orb_slam2_aruco_tpu.ops.image import box_filter
+from orb_slam2_aruco_tpu.geometry.ippe import homography_4pt
+
+
+class DetectedMarkers(NamedTuple):
+    """Fixed-capacity per-frame marker detections."""
+
+    corners: jnp.ndarray   # [K, 4, 2] float32 pixel coords, canonical order
+    ids: jnp.ndarray       # [K] int32 (-1 invalid)
+    valid: jnp.ndarray     # [K] bool
+    decode_dist: jnp.ndarray  # [K] float32 Hamming distance of the decode
+
+
+def adaptive_threshold(img, win: int = 15, c: float = 7.0):
+    """Dark-region binarization: pixel < local mean - c."""
+    mean = box_filter(img, win)
+    return img < (mean - c)
+
+
+def connected_components(binary, iters: int):
+    """Label propagation: every foreground pixel takes the min flat-index in
+    its 8-neighborhood, iterated. Returns [H, W] int32 labels (background =
+    H*W)."""
+    h, w = binary.shape
+    sentinel = h * w
+    flat = (
+        jax.lax.broadcasted_iota(jnp.int32, (h, w), 0) * w
+        + jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    )
+    labels = jnp.where(binary, flat, sentinel)
+
+    def prop(lab):
+        p = jnp.pad(lab, 1, constant_values=sentinel)
+        best = lab
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                if dy == 0 and dx == 0:
+                    continue
+                best = jnp.minimum(best, p[1 + dy : 1 + dy + h, 1 + dx : 1 + dx + w])
+        return jnp.where(binary, jnp.minimum(lab, best), sentinel)
+
+    def body(_, lab):
+        return prop(lab)
+
+    return jax.lax.fori_loop(0, iters, body, labels)
+
+
+def _segment_argmax(value, labels, num_segments, flat_idx):
+    """Per-segment argmax returning the winning pixel's flat index."""
+    m = jax.ops.segment_max(value, labels, num_segments=num_segments)
+    is_max = value >= (m[labels] - 1e-6)
+    idx = jnp.where(is_max, flat_idx, jnp.int32(2**30))
+    return jax.ops.segment_min(idx, labels, num_segments=num_segments)
+
+
+def quad_candidates(binary, max_quads: int, min_area: float = 64.0,
+                    max_area_frac: float = 0.25):
+    """Extract up to max_quads quadrilateral blob candidates.
+
+    Returns (quads [K, 4, 2] in (x, y) float pixels, area [K], valid [K]).
+    Corner order: (c1, c3, c2, c4) = a consistent winding around the blob.
+    """
+    h, w = binary.shape
+    n_seg = h * w + 1
+    # enough iterations for blobs up to ~2*(h+w) perimeter is overkill; a blob
+    # of diameter D needs ~D iterations. Use max(h, w) // 2 as a safe default.
+    labels2d = connected_components(binary, iters=max(h, w) // 2)
+    labels = labels2d.reshape(-1)
+    flat_idx = jnp.arange(h * w, dtype=jnp.int32)
+    xs = (flat_idx % w).astype(jnp.float32)
+    ys = (flat_idx // w).astype(jnp.float32)
+    ones = jnp.ones_like(xs)
+
+    cnt = jax.ops.segment_sum(ones, labels, num_segments=n_seg)
+    sx = jax.ops.segment_sum(xs, labels, num_segments=n_seg)
+    sy = jax.ops.segment_sum(ys, labels, num_segments=n_seg)
+    cx = sx / jnp.maximum(cnt, 1.0)
+    cy = sy / jnp.maximum(cnt, 1.0)
+
+    # corner 1: farthest from centroid
+    d2c = (xs - cx[labels]) ** 2 + (ys - cy[labels]) ** 2
+    i1 = _segment_argmax(d2c, labels, n_seg, flat_idx)
+    x1 = xs[jnp.clip(i1, 0, h * w - 1)]
+    y1 = ys[jnp.clip(i1, 0, h * w - 1)]
+    # corner 2: farthest from corner 1
+    d2c1 = (xs - x1[labels]) ** 2 + (ys - y1[labels]) ** 2
+    i2 = _segment_argmax(d2c1, labels, n_seg, flat_idx)
+    x2 = xs[jnp.clip(i2, 0, h * w - 1)]
+    y2 = ys[jnp.clip(i2, 0, h * w - 1)]
+    # corners 3/4: extremes of the signed cross product across diagonal 1-2
+    crossv = (xs - x1[labels]) * (y2[labels] - y1[labels]) - (
+        ys - y1[labels]
+    ) * (x2[labels] - x1[labels])
+    i3 = _segment_argmax(crossv, labels, n_seg, flat_idx)
+    i4 = _segment_argmax(-crossv, labels, n_seg, flat_idx)
+    x3 = xs[jnp.clip(i3, 0, h * w - 1)]
+    y3 = ys[jnp.clip(i3, 0, h * w - 1)]
+    x4 = xs[jnp.clip(i4, 0, h * w - 1)]
+    y4 = ys[jnp.clip(i4, 0, h * w - 1)]
+
+    # compact: roots are pixels whose label equals their own index
+    is_root = labels == flat_idx
+    area_ok = (cnt[flat_idx] >= min_area) & (
+        cnt[flat_idx] <= max_area_frac * h * w
+    )
+    score = jnp.where(is_root & area_ok, cnt[flat_idx], 0.0)
+    vals, roots = jax.lax.top_k(score, max_quads)
+    valid = vals > 0
+
+    def gather(a):
+        return a[roots]
+
+    quads = jnp.stack(
+        [
+            jnp.stack([gather(x1), gather(y1)], axis=-1),
+            jnp.stack([gather(x3), gather(y3)], axis=-1),
+            jnp.stack([gather(x2), gather(y2)], axis=-1),
+            jnp.stack([gather(x4), gather(y4)], axis=-1),
+        ],
+        axis=-2,
+    )  # [K, 4, 2]
+    return quads, vals, valid
+
+
+def _bilinear_sample(img, x, y):
+    h, w = img.shape
+    x0 = jnp.clip(jnp.floor(x).astype(jnp.int32), 0, w - 2)
+    y0 = jnp.clip(jnp.floor(y).astype(jnp.int32), 0, h - 2)
+    fx = jnp.clip(x - x0, 0.0, 1.0)
+    fy = jnp.clip(y - y0, 0.0, 1.0)
+    flat = img.reshape(-1)
+    i00 = flat[y0 * w + x0]
+    i01 = flat[y0 * w + x0 + 1]
+    i10 = flat[(y0 + 1) * w + x0]
+    i11 = flat[(y0 + 1) * w + x0 + 1]
+    return (
+        i00 * (1 - fx) * (1 - fy)
+        + i01 * fx * (1 - fy)
+        + i10 * (1 - fx) * fy
+        + i11 * fx * fy
+    )
+
+
+def warp_quads(img, quads, grid_cells: int, cell_px: int):
+    """Fronto-parallel warp of each quad to a [G*cell_px]^2 patch.
+    quads [K, 4, 2] are the OUTER border corners; the unit square maps to the
+    full marker including border. Returns [K, S, S] samples."""
+    K = quads.shape[0]
+    S = grid_cells * cell_px
+    # canonical square corners (0,0)->(1,0)->(1,1)->(0,1) map to quad corners
+    src = jnp.asarray(
+        [[0.0, 0.0], [1.0, 0.0], [1.0, 1.0], [0.0, 1.0]], dtype=jnp.float32
+    )
+    src = jnp.broadcast_to(src, (K, 4, 2))
+    H = homography_4pt(src, quads)  # unit square -> image
+    # sample at cell centers of an SxS grid over the unit square
+    u = (jnp.arange(S, dtype=jnp.float32) + 0.5) / S
+    uu, vv = jnp.meshgrid(u, u, indexing="xy")
+    grid = jnp.stack([uu, vv, jnp.ones_like(uu)], axis=-1).reshape(-1, 3)  # [S*S, 3]
+    pts = jnp.einsum("kij,nj->kni", H, grid)
+    zs = jnp.where(jnp.abs(pts[..., 2]) < 1e-9, 1e-9, pts[..., 2])
+    px = pts[..., 0] / zs
+    py = pts[..., 1] / zs
+    samp = jax.vmap(lambda x, y: _bilinear_sample(img, x, y))(px, py)
+    return samp.reshape(K, S, S)
+
+
+def decode_quads(img, quads, qvalid, dict_name: str, border_cells: int = 1,
+                 cell_px: int = 8):
+    """Warp + bit extraction + dictionary lookup + corner canonicalization."""
+    d = get_dictionary(dict_name)
+    G = d.grid + 2 * border_cells
+    S = G * cell_px
+    warped = warp_quads(img, quads, G, cell_px)  # [K, S, S]
+    K = quads.shape[0]
+    cells = warped.reshape(K, G, cell_px, G, cell_px).mean(axis=(2, 4))  # [K, G, G]
+    # per-quad normalization: mid threshold between min and max cell
+    lo = cells.min(axis=(1, 2), keepdims=True)
+    hi = cells.max(axis=(1, 2), keepdims=True)
+    norm = (cells - lo) / jnp.maximum(hi - lo, 1e-6)
+    bits_grid = norm  # soft bits in [0, 1], 1 = white
+    # border must be black
+    border_mask = jnp.zeros((G, G), dtype=bool)
+    border_mask = border_mask.at[:border_cells, :].set(True)
+    border_mask = border_mask.at[-border_cells:, :].set(True)
+    border_mask = border_mask.at[:, :border_cells].set(True)
+    border_mask = border_mask.at[:, -border_cells:].set(True)
+    border_score = jnp.sum(
+        jnp.where(border_mask[None], bits_grid, 0.0), axis=(1, 2)
+    ) / jnp.sum(border_mask)
+    border_ok = border_score < 0.35
+
+    inner = bits_grid[:, border_cells:-border_cells, border_cells:-border_cells]
+    inner_hard = (inner > 0.5).astype(jnp.float32).reshape(K, d.nbits)
+    ids, rots, dist = decode_bits(inner_hard, dict_name)
+    ok = qvalid & border_ok & (dist <= d.max_correction)
+
+    # canonicalize corners: observed grid = rot90(canonical, -rot) means the
+    # canonical top-left corner is `rot` steps around the observed quad
+    idx = (jnp.arange(4)[None, :] + rots[:, None]) % 4
+    corners = jnp.take_along_axis(quads, idx[..., None], axis=1)
+    return DetectedMarkers(
+        corners=corners,
+        ids=jnp.where(ok, ids, -1),
+        valid=ok,
+        decode_dist=dist,
+    )
+
+
+def detect_markers(
+    img,
+    dict_name: str,
+    max_quads: int = 64,
+    adaptive_win: int = 15,
+    adaptive_c: float = 7.0,
+    min_area: float = 100.0,
+    cell_px: int = 8,
+) -> DetectedMarkers:
+    """Full detection pipeline on a grayscale image [H, W] float32 (0..255).
+
+    Cite: reference Frame.cc:142 calls MarkerDetector::detect per frame; this
+    is the jittable equivalent with static output capacity."""
+    binary = adaptive_threshold(img, adaptive_win, adaptive_c)
+    quads, _, qvalid = quad_candidates(binary, max_quads, min_area=min_area)
+    det = decode_quads(img, quads, qvalid, dict_name, cell_px=cell_px)
+    # deduplicate: if two candidate blobs decode to the same id (border blob
+    # and interior blob can both form quads), keep the first occurrence
+    ids = det.ids
+    K = ids.shape[0]
+    same = (ids[:, None] == ids[None, :]) & (ids[:, None] >= 0)
+    earlier = jnp.tril(jnp.ones((K, K), dtype=bool), -1)
+    dup = jnp.any(same & earlier, axis=1)
+    ok = det.valid & ~dup
+    return det._replace(valid=ok, ids=jnp.where(ok, ids, -1))

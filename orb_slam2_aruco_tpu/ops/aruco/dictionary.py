@@ -1,0 +1,175 @@
+"""ArUco dictionaries: bit-code tables + batched decode.
+
+Replaces Thirdparty/aruco dictionary machinery (reference
+Thirdparty/aruco/dictionary.h:53-140) the TPU way: a dictionary is a dense
+{-1,+1} code matrix over all 4 rotations, and decoding a batch of candidate
+bit grids is one matmul + argmax on the MXU.
+
+Dictionaries provided:
+  * ARUCO — the classic algorithmic 5x5 dictionary (1024 ids): each row
+    encodes 2 id bits with the 5-bit words 10000/10111/01001/01110. This is
+    the dictionary the SPM video1-8 sequences use (reference README.md:12).
+  * TPU_16h5 / TPU_25h7 / TPU_36h12 — generated dictionaries (seeded random
+    search with a minimum-Hamming-distance constraint across all rotations),
+    filling the role of ARUCO_MIP_25h7 / ARUCO_MIP_36h12. The exact MIP code
+    tables are data files of the reference's vendored lib and are not copied;
+    markers rendered by io/synthetic.py use these dictionaries, so the
+    pipeline is closed. External code tables can be loaded with
+    `Dictionary.from_codes`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import lru_cache
+from typing import Dict
+
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class Dictionary:
+    name: str
+    grid: int                 # bits per side (5 -> 5x5 grid)
+    codes: np.ndarray         # [K, grid*grid] uint8 bit matrices (row-major)
+    max_correction: int       # max Hamming distance accepted when decoding
+
+    @property
+    def nbits(self) -> int:
+        return self.grid * self.grid
+
+    @property
+    def num_ids(self) -> int:
+        return self.codes.shape[0]
+
+    @staticmethod
+    def from_codes(name: str, grid: int, codes: np.ndarray, max_correction: int):
+        return Dictionary(name=name, grid=grid, codes=codes.astype(np.uint8),
+                          max_correction=max_correction)
+
+    def bit_matrix(self, marker_id: int) -> np.ndarray:
+        return self.codes[marker_id].reshape(self.grid, self.grid)
+
+
+def _rotate_code(code: np.ndarray, grid: int, k: int) -> np.ndarray:
+    return np.rot90(code.reshape(grid, grid), -k).reshape(-1)
+
+
+@lru_cache(maxsize=8)
+def rotated_code_table(name: str):
+    """All codes x 4 rotations as a {-1,+1} float32 matrix [K*4, nbits] plus
+    the (id, rot) lookup arrays. Rotation r means the observed grid equals
+    the canonical code rotated CW by r*90deg."""
+    d = get_dictionary(name)
+    rows = []
+    ids = []
+    rots = []
+    for i in range(d.num_ids):
+        for r in range(4):
+            rows.append(_rotate_code(d.codes[i], d.grid, r))
+            ids.append(i)
+            rots.append(r)
+    table = np.asarray(rows, dtype=np.float32) * 2.0 - 1.0
+    return (
+        jnp.asarray(table),
+        jnp.asarray(ids, dtype=jnp.int32),
+        jnp.asarray(rots, dtype=jnp.int32),
+    )
+
+
+def decode_bits(bits, name: str):
+    """Batched dictionary lookup.
+
+    bits: [Q, nbits] float in [0,1] (soft bit estimates from the warp stage).
+    Returns (ids [Q], rots [Q], dist [Q]): best marker id, rotation, and
+    Hamming distance; callers gate on dist <= max_correction."""
+    table, ids, rots = rotated_code_table(name)
+    pm1 = bits * 2.0 - 1.0
+    # agreement = <pm1, code>; hamming = (nbits - agreement)/2
+    agree = jnp.dot(
+        pm1.astype(jnp.float32), table.T, preferred_element_type=jnp.float32
+    )
+    nbits = table.shape[1]
+    dist = (nbits - agree) * 0.5
+    best = jnp.argmin(dist, axis=-1)
+    return ids[best], rots[best], jnp.take_along_axis(dist, best[:, None], axis=1)[:, 0]
+
+
+# ---------------------------------------------------------------------------
+# dictionary construction
+# ---------------------------------------------------------------------------
+
+
+def _aruco_classic() -> Dictionary:
+    """The original ArUco 5x5 dictionary: 1024 ids, rows encode 2 bits each
+    with a (5,2) code. Public algorithm (Garrido-Jurado et al. 2014)."""
+    words = np.asarray(
+        [
+            [1, 0, 0, 0, 0],
+            [1, 0, 1, 1, 1],
+            [0, 1, 0, 0, 1],
+            [0, 1, 1, 1, 0],
+        ],
+        dtype=np.uint8,
+    )
+    codes = np.zeros((1024, 25), dtype=np.uint8)
+    for marker_id in range(1024):
+        for row in range(5):
+            two = (marker_id >> (2 * (4 - row))) & 0b11
+            codes[marker_id, row * 5 : row * 5 + 5] = words[two]
+    return Dictionary("ARUCO", 5, codes, max_correction=0)
+
+
+def _min_rot_distance(code: np.ndarray, grid: int, accepted: list) -> int:
+    """Min Hamming distance between `code` (any rotation) and all accepted
+    codes (any rotation), and to its own rotations (self-distance)."""
+    rots = [_rotate_code(code, grid, r) for r in range(4)]
+    best = min(
+        int(np.sum(rots[0] != rots[r])) for r in range(1, 4)
+    )  # self-rotation distance
+    for acc in accepted:
+        for r in range(4):
+            d = int(np.sum(rots[r] != acc))
+            if d < best:
+                best = d
+    return best
+
+
+def _generate_dictionary(name: str, grid: int, num_ids: int, min_dist: int,
+                         seed: int) -> Dictionary:
+    rng = np.random.default_rng(seed)
+    accepted: list = []
+    accepted_all_rots: list = []
+    tries = 0
+    while len(accepted) < num_ids and tries < 200000:
+        tries += 1
+        code = rng.integers(0, 2, size=grid * grid).astype(np.uint8)
+        # avoid near-uniform codes (poor border contrast statistics)
+        if code.sum() < grid or code.sum() > grid * grid - grid:
+            continue
+        if _min_rot_distance(code, grid, accepted_all_rots) >= min_dist:
+            accepted.append(code)
+            accepted_all_rots.extend(
+                _rotate_code(code, grid, r) for r in range(4)
+            )
+    codes = np.stack(accepted)
+    return Dictionary(name, grid, codes, max_correction=(min_dist - 1) // 2)
+
+
+_REGISTRY: Dict[str, Dictionary] = {}
+
+
+def get_dictionary(name: str) -> Dictionary:
+    if name not in _REGISTRY:
+        if name == "ARUCO":
+            _REGISTRY[name] = _aruco_classic()
+        elif name in ("TPU_16h5", "ARUCO_MIP_16h3"):
+            _REGISTRY[name] = _generate_dictionary("TPU_16h5", 4, 64, 5, seed=11)
+        elif name in ("TPU_25h7", "ARUCO_MIP_25h7"):
+            _REGISTRY[name] = _generate_dictionary("TPU_25h7", 5, 100, 7, seed=12)
+        elif name in ("TPU_36h12", "ARUCO_MIP_36h12"):
+            _REGISTRY[name] = _generate_dictionary("TPU_36h12", 6, 250, 12, seed=13)
+        else:
+            raise ValueError(f"unknown ArUco dictionary: {name}")
+    return _REGISTRY[name]

@@ -1,0 +1,161 @@
+"""The world map as one fixed-capacity pytree.
+
+Replaces the reference's pointer-graph of Map / MapPoint / KeyFrame /
+MapAruco objects + ~20 mutexes (reference src/Map.cc, src/MapPoint.cc,
+src/KeyFrame.cc, src/MapAruco.cc) with arrays + validity masks: SLAM's
+dynamic insert/erase becomes masked slot allocation, and every consumer
+(tracking, BA, loop closing) reads the same immutable snapshot — the
+functional-core design dissolves the reference's lock discipline
+(SURVEY.md §2.3, §5 'race detection').
+
+Shapes (capacities from MapConfig):
+  K = max_keyframes, N = features/frame, L = max_points, M = max_markers,
+  A = max markers observed per keyframe.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from orb_slam2_aruco_tpu.config import SlamConfig
+
+
+class MapState(NamedTuple):
+    # --- keyframes -------------------------------------------------------
+    kf_Rcw: jnp.ndarray        # [K, 3, 3] world->camera
+    kf_tcw: jnp.ndarray        # [K, 3]
+    kf_valid: jnp.ndarray      # [K] bool
+    kf_frame_id: jnp.ndarray   # [K] int32 source frame index
+    kf_ts: jnp.ndarray         # [K] float64-as-float32 timestamp
+    # per-keyframe features (immutable after insertion, like the reference)
+    kf_kp_uv: jnp.ndarray      # [K, N, 2] undistorted pixels
+    kf_kp_octave: jnp.ndarray  # [K, N] int32
+    kf_kp_angle: jnp.ndarray   # [K, N] float32
+    kf_desc: jnp.ndarray       # [K, N, 8] uint32 packed ORB
+    kf_kp_valid: jnp.ndarray   # [K, N] bool
+    kf_obs_point: jnp.ndarray  # [K, N] int32 map-point slot per feature (-1)
+    # --- map points ------------------------------------------------------
+    pt_xyz: jnp.ndarray        # [L, 3]
+    pt_valid: jnp.ndarray      # [L] bool
+    pt_desc: jnp.ndarray       # [L, 8] uint32 representative descriptor
+    pt_normal: jnp.ndarray     # [L, 3] mean viewing direction
+    pt_min_dist: jnp.ndarray   # [L] scale-invariance band (PredictScale inputs)
+    pt_max_dist: jnp.ndarray   # [L]
+    pt_ref_kf: jnp.ndarray     # [L] int32 anchor keyframe slot
+    pt_found: jnp.ndarray      # [L] float32 'found' counter
+    pt_visible: jnp.ndarray    # [L] float32 'visible' counter
+    pt_first_kf: jnp.ndarray   # [L] int32 (for culling age)
+    # --- markers (SE3 landmarks) ----------------------------------------
+    mk_Rwm: jnp.ndarray        # [M, 3, 3] marker->world
+    mk_twm: jnp.ndarray        # [M, 3]
+    mk_id: jnp.ndarray         # [M] int32 ArUco id (-1 = free slot)
+    mk_valid: jnp.ndarray      # [M] bool
+    mk_side: jnp.ndarray       # [M] float32 side length
+    mk_well: jnp.ndarray       # [M] bool isWellComputed (plane-fit promoted)
+    mk_nbad: jnp.ndarray       # [M] int32 nBadComputed counter
+    mk_mean_len: jnp.ndarray   # [M] float32 measured side length accumulator
+    mk_len_cnt: jnp.ndarray    # [M] float32
+    # per-keyframe marker observations
+    kf_mk_slot: jnp.ndarray    # [K, A] int32 marker slot (-1)
+    kf_mk_uv: jnp.ndarray      # [K, A, 4, 2] observed (undistorted) corners
+    kf_mk_valid: jnp.ndarray   # [K, A] bool
+    kf_mk_old: jnp.ndarray     # [K, A] bool — 'old/loop' markers (mvbOldAruco)
+    # --- retrieval (place recognition) ----------------------------------
+    kf_bow: jnp.ndarray        # [K, W] float32 l2-normalized word histogram
+    # --- scalars ---------------------------------------------------------
+    scale_done: jnp.ndarray    # [] bool — one-shot metric scale correction done
+    big_change_idx: jnp.ndarray  # [] int32 (Map::InformNewBigChange)
+
+    @property
+    def K(self):
+        return self.kf_valid.shape[0]
+
+    @property
+    def L(self):
+        return self.pt_valid.shape[0]
+
+    @property
+    def M(self):
+        return self.mk_valid.shape[0]
+
+    def num_keyframes(self):
+        return jnp.sum(self.kf_valid.astype(jnp.int32))
+
+    def num_points(self):
+        return jnp.sum(self.pt_valid.astype(jnp.int32))
+
+    def num_markers(self):
+        return jnp.sum(self.mk_valid.astype(jnp.int32))
+
+
+def empty_map(cfg: SlamConfig, num_words: int = None) -> MapState:
+    K = cfg.map.max_keyframes
+    N = cfg.orb.num_features
+    L = cfg.map.max_points
+    M = cfg.map.max_markers
+    A = cfg.aruco.max_markers_per_frame
+    W = num_words if num_words is not None else cfg.retrieval.num_words
+    f32 = jnp.float32
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=f32), (K, 3, 3))
+    eyem = jnp.broadcast_to(jnp.eye(3, dtype=f32), (M, 3, 3))
+    return MapState(
+        kf_Rcw=eye,
+        kf_tcw=jnp.zeros((K, 3), f32),
+        kf_valid=jnp.zeros((K,), bool),
+        kf_frame_id=jnp.full((K,), -1, jnp.int32),
+        kf_ts=jnp.zeros((K,), f32),
+        kf_kp_uv=jnp.zeros((K, N, 2), f32),
+        kf_kp_octave=jnp.zeros((K, N), jnp.int32),
+        kf_kp_angle=jnp.zeros((K, N), f32),
+        kf_desc=jnp.zeros((K, N, 8), jnp.uint32),
+        kf_kp_valid=jnp.zeros((K, N), bool),
+        kf_obs_point=jnp.full((K, N), -1, jnp.int32),
+        pt_xyz=jnp.zeros((L, 3), f32),
+        pt_valid=jnp.zeros((L,), bool),
+        pt_desc=jnp.zeros((L, 8), jnp.uint32),
+        pt_normal=jnp.zeros((L, 3), f32),
+        pt_min_dist=jnp.zeros((L,), f32),
+        pt_max_dist=jnp.full((L,), 1e9, f32),
+        pt_ref_kf=jnp.full((L,), -1, jnp.int32),
+        pt_found=jnp.ones((L,), f32),
+        pt_visible=jnp.ones((L,), f32),
+        pt_first_kf=jnp.full((L,), -1, jnp.int32),
+        mk_Rwm=eyem,
+        mk_twm=jnp.zeros((M, 3), f32),
+        mk_id=jnp.full((M,), -1, jnp.int32),
+        mk_valid=jnp.zeros((M,), bool),
+        mk_side=jnp.full((M,), cfg.aruco.marker_size, f32),
+        mk_well=jnp.zeros((M,), bool),
+        mk_nbad=jnp.zeros((M,), jnp.int32),
+        mk_mean_len=jnp.zeros((M,), f32),
+        mk_len_cnt=jnp.zeros((M,), f32),
+        kf_mk_slot=jnp.full((K, A), -1, jnp.int32),
+        kf_mk_uv=jnp.zeros((K, A, 4, 2), f32),
+        kf_mk_valid=jnp.zeros((K, A), bool),
+        kf_mk_old=jnp.zeros((K, A), bool),
+        kf_bow=jnp.zeros((K, W), f32),
+        scale_done=jnp.asarray(False),
+        big_change_idx=jnp.asarray(0, jnp.int32),
+    )
+
+
+def first_free_slot(valid):
+    """Index of the first invalid slot (capacity overflow returns the last
+    slot — callers should check num_free first on the host)."""
+    free = ~valid
+    return jnp.argmax(free.astype(jnp.int32))
+
+
+def free_slots(valid, count):
+    """First `count` free slot indices (padded with the last index)."""
+    order = jnp.argsort(valid.astype(jnp.int32), stable=True)
+    return order[:count]
+
+
+def marker_slot_for_id(state: MapState, aruco_id):
+    """Slot holding a given ArUco id, or -1."""
+    hit = (state.mk_id == aruco_id) & state.mk_valid
+    slot = jnp.argmax(hit.astype(jnp.int32))
+    return jnp.where(jnp.any(hit), slot, -1)

@@ -1,0 +1,129 @@
+"""ArUco dictionary + detector tests against the synthetic renderer
+(SURVEY.md §4: IPPE on synthetic square projections; detector golden tests)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from orb_slam2_aruco_tpu.config import CameraConfig
+from orb_slam2_aruco_tpu.geometry import ippe
+from orb_slam2_aruco_tpu.io import synthetic
+from orb_slam2_aruco_tpu.ops.aruco import detector, dictionary
+
+CAM = CameraConfig(
+    fx=300.0, fy=300.0, cx=160.0, cy=120.0, dist=(0, 0, 0, 0, 0),
+    width=320, height=240,
+)
+
+
+def test_dictionary_aruco_classic():
+    d = dictionary.get_dictionary("ARUCO")
+    assert d.num_ids == 1024 and d.nbits == 25
+    # codes unique
+    flat = {tuple(c) for c in d.codes}
+    assert len(flat) == 1024
+
+
+def test_dictionary_decode_with_rotation():
+    d = dictionary.get_dictionary("ARUCO")
+    code = d.bit_matrix(137)
+    for r in range(4):
+        rot = np.rot90(code, -r).reshape(1, -1).astype(np.float32)
+        ids, rots, dist = dictionary.decode_bits(jnp.asarray(rot), "ARUCO")
+        assert int(ids[0]) == 137
+        assert int(rots[0]) == r
+        assert float(dist[0]) == 0.0
+
+
+def test_generated_dictionary_min_distance():
+    d = dictionary.get_dictionary("TPU_25h7")
+    assert d.num_ids >= 50
+    # spot-check pairwise rotation-distance >= 7
+    rng = np.random.default_rng(0)
+    for _ in range(50):
+        i, j = rng.integers(0, d.num_ids, 2)
+        if i == j:
+            continue
+        ci = d.bit_matrix(i)
+        best = min(
+            int((np.rot90(ci, -r) != d.bit_matrix(j)).sum()) for r in range(4)
+        )
+        assert best >= 7
+
+
+def _render_frontal(ids=(3, 17, 42, 99), distance=1.2, yaw=0.0, pitch=0.0):
+    world = synthetic.build_world(list(ids), px_per_m=700.0, spacing=0.45,
+                                  grid_cols=2)
+    Rcw, tcw = synthetic.look_at_plane_pose((0.22, 0.22), distance, yaw=yaw,
+                                            pitch=pitch)
+    img = synthetic.render_view(world, CAM, Rcw, tcw)
+    return world, img, Rcw, tcw
+
+
+def _project(cam: CameraConfig, Rcw, tcw, xyz):
+    p = xyz @ Rcw.T + tcw
+    return np.stack(
+        [cam.fx * p[:, 0] / p[:, 2] + cam.cx, cam.fy * p[:, 1] / p[:, 2] + cam.cy],
+        axis=-1,
+    )
+
+
+def test_detect_frontal_markers():
+    world, img, Rcw, tcw = _render_frontal()
+    det = detector.detect_markers(jnp.asarray(img), "ARUCO", max_quads=32,
+                                  min_area=80.0)
+    found = {int(i) for i in np.asarray(det.ids) if i >= 0}
+    assert found == {3, 17, 42, 99}, found
+
+
+def test_detect_corner_accuracy_and_order():
+    world, img, Rcw, tcw = _render_frontal()
+    det = detector.detect_markers(jnp.asarray(img), "ARUCO", max_quads=32,
+                                  min_area=80.0)
+    ids = np.asarray(det.ids)
+    corners = np.asarray(det.corners)
+    for spec in world.markers:
+        k = np.nonzero(ids == spec.marker_id)[0]
+        assert len(k) == 1
+        uv_det = corners[k[0]]
+        uv_gt = _project(CAM, Rcw, tcw, world.marker_corners_world(spec))
+        err = np.linalg.norm(uv_det - uv_gt, axis=-1)
+        assert err.max() < 2.5, (spec.marker_id, uv_det, uv_gt)
+
+
+def test_detect_tilted_view():
+    world, img, Rcw, tcw = _render_frontal(distance=1.5, yaw=0.2, pitch=0.12)
+    det = detector.detect_markers(jnp.asarray(img), "ARUCO", max_quads=32,
+                                  min_area=60.0)
+    found = {int(i) for i in np.asarray(det.ids) if i >= 0}
+    assert len(found & {3, 17, 42, 99}) >= 3, found
+
+
+def test_detection_to_ippe_pose():
+    # full front-end chain: render -> detect -> IPPE -> compare with truth
+    world, img, Rcw, tcw = _render_frontal(distance=1.3, yaw=0.15, pitch=0.1)
+    det = detector.detect_markers(jnp.asarray(img), "ARUCO", max_quads=32,
+                                  min_area=60.0)
+    ids = np.asarray(det.ids)
+    corners = np.asarray(det.corners)
+    checked = 0
+    for spec in world.markers:
+        k = np.nonzero(ids == spec.marker_id)[0]
+        if len(k) != 1:
+            continue
+        uv = corners[k[0]]
+        xn = (uv - np.asarray([CAM.cx, CAM.cy])) / np.asarray([CAM.fx, CAM.fy])
+        res = ippe.ippe_square(spec.size, jnp.asarray(xn[None], dtype=jnp.float32))
+        # ground-truth marker->camera transform
+        Rwm, twm = world.marker_pose_world(spec)
+        R_cm = Rcw @ Rwm
+        t_cm = Rcw @ twm + tcw
+        R_est = np.asarray(res.R[0, 0])
+        t_est = np.asarray(res.t[0, 0])
+        ang = np.degrees(
+            np.arccos(np.clip((np.trace(R_est @ R_cm.T) - 1) / 2, -1, 1))
+        )
+        # integer-pixel corners (no subpixel refinement yet) give a few deg
+        assert ang < 8.0, (spec.marker_id, ang)
+        assert np.linalg.norm(t_est - t_cm) < 0.06, (spec.marker_id, t_est, t_cm)
+        checked += 1
+    assert checked >= 3
