@@ -1,0 +1,78 @@
+"""Benchmark: steady-state monocular tracking throughput on one chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline: the reference is designed around a ~30 Hz real-time budget
+(20 ms sleep per frame in its drive loops, reference
+Examples/Monocular/mono_cvcam.cc:143; upstream ORB-SLAM2 reports ~25-30 Hz
+tracking on a desktop CPU — BASELINE.md). vs_baseline = fps / 30.
+
+The bench builds a map from a synthetic 960x540 marker sequence (flagship
+feature budget: 1000 ORB features, 8 levels — mono_cvcam.cc:78-82), then
+times the full per-frame tracking path (frontend + marker binding + pose
+cascade + local-map tracking) in steady state.
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+
+    from orb_slam2_aruco_tpu.config import CameraConfig, SlamConfig
+    from orb_slam2_aruco_tpu.io import synthetic
+    from orb_slam2_aruco_tpu.pipeline.system import SlamSystem, TrackingState
+
+    camc = CameraConfig(
+        fx=500.0, fy=500.0, cx=480.0, cy=270.0, dist=(0, 0, 0, 0, 0),
+        width=960, height=540,
+    )
+    cfg = SlamConfig().replace(camera=camc)
+
+    world = synthetic.build_world(
+        [3, 17, 42, 99, 7, 23, 55, 88], px_per_m=500.0, spacing=0.6,
+        grid_cols=4, marker_size=0.165,
+    )
+    n_frames = 16
+    poses = []
+    for i in range(n_frames):
+        x = 0.5 + 0.8 * i / n_frames
+        yaw = 0.1 * np.sin(2 * np.pi * i / n_frames)
+        poses.append(
+            synthetic.look_at_plane_pose((x, 0.3), 2.0, yaw=yaw, pitch=0.04)
+        )
+    frames = [synthetic.render_view(world, camc, R, t) for R, t in poses]
+
+    slam = SlamSystem(cfg)
+    for i, img in enumerate(frames):
+        slam.track_monocular(img, ts=i / 30.0)
+    assert slam.state is TrackingState.OK, f"bench map build failed: {slam.state}"
+
+    # steady-state timing: localization-only tracking over the rendered views
+    slam.activate_localization_mode()
+    # warm up all jit paths
+    for img in frames[:4]:
+        slam.track_monocular(img, ts=0.0)
+    n_timed = 40
+    t0 = time.perf_counter()
+    for j in range(n_timed):
+        slam.track_monocular(frames[j % n_frames], ts=0.0)
+    dt = time.perf_counter() - t0
+    fps = n_timed / dt
+    print(
+        json.dumps(
+            {
+                "metric": "tracking_fps_960x540_1000feat",
+                "value": round(fps, 2),
+                "unit": "frames/s",
+                "vs_baseline": round(fps / 30.0, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

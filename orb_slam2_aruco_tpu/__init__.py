@@ -18,4 +18,14 @@ Design stance (not a port):
 
 __version__ = "0.1.0"
 
+import jax as _jax
+
+# On TPU, float32 dot/einsum lowers to fast bfloat16 MXU passes by default.
+# That is exactly right for the descriptor kernels (which feed bf16 inputs
+# explicitly) but silently destroys the Levenberg–Marquardt normal equations
+# and geometry solves (reference parity requires f32-or-better there —
+# SURVEY.md §7 'numerical parity'). Force full-precision f32 matmuls as the
+# default; perf-critical kernels opt back into bf16 by passing bf16 operands.
+_jax.config.update("jax_default_matmul_precision", "highest")
+
 from orb_slam2_aruco_tpu.config import SlamConfig  # noqa: F401

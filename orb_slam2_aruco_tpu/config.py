@@ -93,7 +93,9 @@ class TrackingConfig:
     min_init_features: int = 100      # MonocularInitialization (Tracking.cc:500)
     min_init_matches: int = 100
     init_min_marker_baseline: float = 0.1   # ||t21|| gate (Tracking.cc:549-629)
-    init_marker_reproj_err: float = 0.5     # 8-corner candidate gate
+    init_marker_reproj_err: float = 2.0     # 8-corner candidate gate (the
+                                            # reference uses 0.5 with subpixel-
+                                            # refined corners, Tracking.cc:624)
     init_min_good_frac: float = 0.7   # InitializeUseAruco accept (Initializer.cc:185)
     min_matches_motion: int = 20
     min_matches_refkf: int = 15

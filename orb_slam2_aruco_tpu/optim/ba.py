@@ -314,6 +314,7 @@ def ba_solve(
             Rwm=new_state[3], twm=new_state[4],
         )
         chi2_new, _, _ = _total_chi2(pp, cam)
+        chi2_new = maybe_psum(chi2_new)  # accept/reject must be global
         accept = chi2_new < chi2_cur
         state = jax.tree_util.tree_map(
             lambda n, o: jnp.where(accept, n, o), new_state, state
@@ -324,11 +325,13 @@ def ba_solve(
 
     state0 = (p.Rcw, p.tcw, p.points, p.Rwm, p.twm)
     chi2_0, _, _ = _total_chi2(p, cam)
+    chi2_0 = maybe_psum(chi2_0)
     state, _, chi2 = jax.lax.fori_loop(
         0, iters, lm_iter, (state0, jnp.float32(lam0), chi2_0)
     )
     pp = p._replace(Rcw=state[0], tcw=state[1], points=state[2], Rwm=state[3], twm=state[4])
     chi2_final, c_e, c_m = _total_chi2(pp, cam)
+    chi2_final = maybe_psum(chi2_final)
     return BAResult(
         Rcw=state[0], tcw=state[1], points=state[2], Rwm=state[3], twm=state[4],
         chi2=chi2_final, edge_chi2=c_e, medge_chi2=c_m,

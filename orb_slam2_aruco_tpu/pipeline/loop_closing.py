@@ -1,0 +1,327 @@
+"""Loop closing: marker-id loop detection, Sim3 computation, loop correction.
+
+Replaces LoopClosing (reference src/LoopClosing.cc):
+  * DetectLoopByAruco (:116-189)  -> detect_loop_by_marker: a marker observed
+    by an old, non-covisible keyframe IS a loop signal — no appearance model
+    needed.
+  * BoW detection (:191-360)      -> detect_loop_by_bow (retrieval scores +
+    covisibility exclusion).
+  * ComputeSim3ByAruco (:362-483) -> compute_sim3: Sim3 seeded from the
+    relative marker pose (s=1, markers are metric), refined on point matches
+    with optim.sim3_opt.
+  * CorrectLoopByAruco (:656-887) -> correct_loop: Sim3 propagation of the
+    current covisible group, point correction, marker re-anchoring,
+    essential-graph optimization (optim.pose_graph), and a final global BA
+    (mapping.bundle_adjust window_all) — sequential phases instead of the
+    reference's detached GBA thread.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from orb_slam2_aruco_tpu.config import SlamConfig
+from orb_slam2_aruco_tpu.geometry import camera as cam_mod
+from orb_slam2_aruco_tpu.geometry.camera import Camera
+from orb_slam2_aruco_tpu.geometry.ippe import ippe_square
+from orb_slam2_aruco_tpu.geometry.lie import (
+    rot_to_quat,
+    se3_apply,
+    se3_compose,
+    se3_inverse,
+    sim3_compose,
+    sim3_inverse,
+)
+from orb_slam2_aruco_tpu.ops import matching
+from orb_slam2_aruco_tpu.optim import pose_graph, sim3_opt
+from orb_slam2_aruco_tpu.pipeline.frontend import scale_sigma2
+from orb_slam2_aruco_tpu.worldmap.covisibility import covisibility_matrix
+from orb_slam2_aruco_tpu.worldmap.state import MapState
+
+
+class LoopDetection(NamedTuple):
+    found: jnp.ndarray       # bool
+    kf_loop: jnp.ndarray     # int32 loop keyframe slot
+    marker_slot: jnp.ndarray  # int32 shared marker slot (-1 if BoW loop)
+
+
+@functools.partial(jax.jit, static_argnames=("min_gap",))
+def detect_loop_by_marker(state: MapState, kf_cur, min_gap: int = 10):
+    """A marker observed by the current KF and by an old keyframe that is NOT
+    covisible with it signals a loop."""
+    K, A = state.kf_mk_slot.shape
+    W = covisibility_matrix(state)
+    cur_slots = state.kf_mk_slot[kf_cur]                 # [A]
+    cur_valid = state.kf_mk_valid[kf_cur] & (cur_slots >= 0)
+    # observers[k, a]: does KF k observe cur marker a?
+    obs = (
+        (state.kf_mk_slot[:, :, None] == cur_slots[None, None, :])
+        & state.kf_mk_valid[:, :, None]
+    ).any(axis=1)                                        # [K, A]
+    fid_cur = state.kf_frame_id[kf_cur]
+    old = (
+        state.kf_valid
+        & (state.kf_frame_id < fid_cur)
+        & (W[kf_cur] < 15)                               # non-covisible
+    )
+    old = old.at[kf_cur].set(False)
+    cand = obs & old[:, None] & cur_valid[None, :]       # [K, A]
+    # gap in keyframe count: require the observer to be old enough
+    order_gap = jnp.sum(
+        (state.kf_frame_id[:, None] > state.kf_frame_id[None, :])
+        & state.kf_valid[None, :],
+        axis=1,
+    )  # insertion rank of each KF
+    rank_cur = order_gap[kf_cur]
+    cand = cand & ((rank_cur - order_gap[:, None]) >= min_gap)
+    any_c = jnp.any(cand)
+    flat = jnp.argmax(cand.astype(jnp.int32))            # earliest by layout
+    k_best = flat // A
+    a_best = flat % A
+    return LoopDetection(
+        found=any_c,
+        kf_loop=jnp.where(any_c, k_best, -1).astype(jnp.int32),
+        marker_slot=jnp.where(any_c, cur_slots[a_best], -1).astype(jnp.int32),
+    )
+
+
+def _marker_cam_pose(state: MapState, kf, marker_slot, cam: Camera):
+    """T_cam_marker recomputed by IPPE from the stored corner observations of
+    `marker_slot` in keyframe `kf` (best solution)."""
+    A = state.kf_mk_slot.shape[1]
+    hit = (state.kf_mk_slot[kf] == marker_slot) & state.kf_mk_valid[kf]
+    a = jnp.argmax(hit.astype(jnp.int32))
+    uv = state.kf_mk_uv[kf, a]                           # [4, 2]
+    xn = cam_mod.pixels_to_normalized(cam, uv)
+    res = ippe_square(state.mk_side[marker_slot], xn[None])
+    return res.R[0, 0], res.t[0, 0], jnp.any(hit)
+
+
+class Sim3Candidate(NamedTuple):
+    ok: jnp.ndarray
+    s: jnp.ndarray          # Sim3 cur <- loop  (camera frames)
+    R: jnp.ndarray
+    t: jnp.ndarray
+    n_inliers: jnp.ndarray
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def compute_sim3(state: MapState, kf_cur, kf_loop, marker_slot,
+                 cam: Camera, cfg: SlamConfig) -> Sim3Candidate:
+    """Relative Sim3 (cur <- loop camera frame) seeded by the shared marker,
+    refined on point matches (ComputeSim3ByAruco)."""
+    # seed from marker: T_cur_loop = T_cur_m * inv(T_loop_m), s = 1
+    Rc_m, tc_m, ok1 = _marker_cam_pose(state, kf_cur, marker_slot, cam)
+    Rl_m, tl_m, ok2 = _marker_cam_pose(state, kf_loop, marker_slot, cam)
+    Rm_l, tm_l = se3_inverse(Rl_m, tl_m)
+    R0, t0 = se3_compose(Rc_m, tc_m, Rm_l, tm_l)
+    s0 = jnp.float32(1.0)
+
+    # point matches cur <-> loop (descriptor NN, both must have map points)
+    cur_obs = state.kf_obs_point[kf_cur]
+    loop_obs = state.kf_obs_point[kf_loop]
+    mask_cur = state.kf_kp_valid[kf_cur] & (cur_obs >= 0)
+    mask_loop = state.kf_kp_valid[kf_loop] & (loop_obs >= 0)
+    d = matching.distance_matrix(
+        state.kf_desc[kf_cur], state.kf_desc[kf_loop], mask_cur, mask_loop
+    )
+    m = matching.nn_match(d, max_dist=float(cfg.matcher.th_low), nn_ratio=0.9,
+                          mutual=True)
+    # p1: cur's own map points in cur camera frame; p2: loop's map points in
+    # loop camera frame (reference OptimizeSim3 vertex setup)
+    X1 = state.pt_xyz[jnp.maximum(cur_obs, 0)]
+    p1 = se3_apply(
+        state.kf_Rcw[kf_cur][None], state.kf_tcw[kf_cur][None], X1
+    )
+    j = jnp.maximum(m.idx, 0)
+    X2 = state.pt_xyz[jnp.maximum(loop_obs[j], 0)]
+    p2 = se3_apply(
+        state.kf_Rcw[kf_loop][None], state.kf_tcw[kf_loop][None], X2
+    )
+    uv1 = state.kf_kp_uv[kf_cur]
+    uv2 = state.kf_kp_uv[kf_loop][j]
+    sig2 = scale_sigma2(cfg.orb.num_levels, cfg.orb.scale_factor)
+    inv1 = sig2[state.kf_kp_octave[kf_cur]]
+    inv2 = sig2[state.kf_kp_octave[kf_loop][j]]
+    valid = m.valid & mask_cur & state.pt_valid[jnp.maximum(cur_obs, 0)] & \
+        state.pt_valid[jnp.maximum(loop_obs[j], 0)]
+    res = sim3_opt.optimize_sim3(
+        s0, R0, t0, p1, p2, uv1, uv2, valid, inv1, inv2, cam,
+        fix_scale=cfg.loop.fix_scale,
+        iters_first=cfg.optim.sim3_iters,
+        iters_second=2 * cfg.optim.sim3_iters,
+    )
+    ok = ok1 & ok2 & (res.n_inliers >= cfg.loop.sim3_min_inliers)
+    return Sim3Candidate(ok=ok, s=res.s, R=res.R, t=res.t,
+                         n_inliers=res.n_inliers)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "max_covis_edges"))
+def correct_loop(
+    state: MapState,
+    kf_cur, kf_loop,
+    s_rel, R_rel, t_rel,     # Sim3 cur <- loop (camera frames)
+    cam: Camera,
+    cfg: SlamConfig,
+    max_covis_edges: int = 5,
+):
+    """Propagate the loop correction and optimize the essential graph."""
+    K = state.K
+    W = covisibility_matrix(state)
+
+    # ---- corrected Sim3 pose of the current KF: Scw = S_rel * S_loop_w ----
+    s_loop = jnp.float32(1.0)
+    R_loop = state.kf_Rcw[kf_loop]
+    t_loop = state.kf_tcw[kf_loop]
+    s_cur_c, R_cur_c, t_cur_c = sim3_compose(
+        s_rel, R_rel, t_rel, s_loop, R_loop, t_loop
+    )
+
+    # ---- vertices: all KFs as Sim3 (s=1), cur replaced by corrected ------
+    s_all = jnp.ones((K,), jnp.float32)
+    R_all = state.kf_Rcw
+    t_all = state.kf_tcw
+    # propagate to covisible group of cur: S_k_corrected = S_k_cur * S_cur_c
+    covis_cur = (W[kf_cur] >= 15) & state.kf_valid
+    covis_cur = covis_cur.at[kf_cur].set(True)
+    Rcur_inv, tcur_inv = se3_inverse(state.kf_Rcw[kf_cur], state.kf_tcw[kf_cur])
+    # S_k_cur (drifted relative): T_k_w * inv(T_cur_w)
+    R_k_cur, t_k_cur = se3_compose(
+        R_all, t_all,
+        jnp.broadcast_to(Rcur_inv, R_all.shape),
+        jnp.broadcast_to(tcur_inv, t_all.shape),
+    )
+    s_k_c, R_k_c, t_k_c = sim3_compose(
+        jnp.ones((K,)), R_k_cur, t_k_cur,
+        jnp.broadcast_to(s_cur_c, (K,)), jnp.broadcast_to(R_cur_c, (K, 3, 3)),
+        jnp.broadcast_to(t_cur_c, (K, 3)),
+    )
+    s_init = jnp.where(covis_cur, s_k_c, s_all)
+    R_init = jnp.where(covis_cur[:, None, None], R_k_c, R_all)
+    t_init = jnp.where(covis_cur[:, None], t_k_c, t_all)
+
+    # ---- point correction for the covisible group (pre-graph) ------------
+    # X_new = S_k_corr^{-1} ( S_k_old X ) using each point's ref KF if that
+    # ref is in the covisible group
+    ref = jnp.clip(state.pt_ref_kf, 0, K - 1)
+    in_group = covis_cur[ref] & (state.pt_ref_kf >= 0) & state.pt_valid
+    Xc = se3_apply(R_all[ref], t_all[ref], state.pt_xyz)   # old cam coords
+    si, Ri, ti = sim3_inverse(s_init[ref], R_init[ref], t_init[ref])
+    X_new = si[:, None] * jnp.einsum("lij,lj->li", Ri, Xc) + ti
+    pt_xyz = jnp.where(in_group[:, None], X_new, state.pt_xyz)
+
+    # ---- essential graph edges -------------------------------------------
+    # (a) insertion-order chain (spanning-tree stand-in)
+    order = jnp.argsort(
+        jnp.where(state.kf_valid, state.kf_frame_id, jnp.int32(2**30))
+    )
+    nvalid = jnp.sum(state.kf_valid.astype(jnp.int32))
+    chain_i = order[1:]
+    chain_j = order[:-1]
+    chain_mask = (jnp.arange(K - 1) + 1) < nvalid
+    # (b) strong covisibility edges: top-C per KF with weight >= threshold
+    wv, wi = jax.lax.top_k(
+        jnp.where(jnp.eye(K, dtype=bool), 0, W), max_covis_edges
+    )
+    cov_i = jnp.repeat(jnp.arange(K, dtype=jnp.int32), max_covis_edges)
+    cov_j = wi.reshape(-1).astype(jnp.int32)
+    cov_mask = (
+        (wv.reshape(-1) >= cfg.optim.essential_graph_min_covis)
+        & state.kf_valid[cov_i]
+        & state.kf_valid[cov_j]
+    )
+    # (c) the loop edge
+    e_i = jnp.concatenate([chain_i, cov_i, jnp.atleast_1d(kf_cur).astype(jnp.int32)])
+    e_j = jnp.concatenate([chain_j, cov_j, jnp.atleast_1d(kf_loop).astype(jnp.int32)])
+    e_mask = jnp.concatenate(
+        [chain_mask, cov_mask, jnp.asarray([True])]
+    ).astype(jnp.float32)
+
+    # measurements: S_m = S_iw_meas * S_wj_meas from PRE-correction poses for
+    # chain/covis edges; the corrected relative for the loop edge
+    def rel_meas(Ra, ta, Rb, tb):
+        # S_iw * S_wj with s = 1
+        Rbi, tbi = se3_inverse(Rb, tb)
+        R, t = se3_compose(Ra, ta, Rbi, tbi)
+        return jnp.ones(R.shape[:-2]), R, t
+
+    sm_c, Rm_c, tm_c = rel_meas(
+        R_all[e_i[:-1]], t_all[e_i[:-1]], R_all[e_j[:-1]], t_all[e_j[:-1]]
+    )
+    # loop edge measurement: corrected cur vs loop (the Sim3 we solved)
+    sl, Rl, tl = sim3_compose(
+        s_cur_c, R_cur_c, t_cur_c,
+        *sim3_inverse(jnp.float32(1.0), R_loop, t_loop),
+    )
+    sm = jnp.concatenate([sm_c, sl[None]])
+    Rm = jnp.concatenate([Rm_c, Rl[None]])
+    tm = jnp.concatenate([tm_c, tl[None]])
+
+    free = state.kf_valid.astype(jnp.float32).at[kf_loop].set(0.0)
+    out = pose_graph.optimize_pose_graph(
+        s_init, R_init, t_init, e_i, e_j, sm, Rm, tm, e_mask, free,
+        iters=cfg.optim.essential_graph_iters,
+        lam=cfg.optim.lm_lambda_essential,
+    )
+
+    # ---- recover SE3 (t / s) and re-transform points & markers -----------
+    s_new = jnp.where(state.kf_valid, out.s, 1.0)
+    R_new = jnp.where(state.kf_valid[:, None, None], out.R, R_all)
+    t_new = jnp.where(state.kf_valid[:, None], out.t / jnp.maximum(s_new, 1e-9)[:, None], t_all)
+
+    # points: X_new = T_w_ref_new * (s_ref_old_to_new adjusting) — transform
+    # via each point's ref KF: X' = T_new^{-1}( S_old_sim3 X ) with the
+    # pose-graph's Sim3 (reference RunGlobalBundleAdjustment point update)
+    Xc2 = (
+        s_init[ref][:, None] * jnp.einsum("lij,lj->li", R_init[ref], pt_xyz)
+        + t_init[ref]
+    )  # sim3_apply with the pre-graph vertex estimates
+    si2, Ri2, ti2 = sim3_inverse(out.s[ref], out.R[ref], out.t[ref])
+    X2 = si2[:, None] * jnp.einsum("lij,lj->li", Ri2, Xc2) + ti2
+    move = state.pt_valid & (state.pt_ref_kf >= 0)
+    pt_xyz = jnp.where(move[:, None], X2, pt_xyz)
+
+    # markers: re-anchor Twm from the corrected pose of an observing KF
+    # (reference CorrectLoopByAruco:781-798): Twm = T_w_k_new * T_k_m where
+    # T_k_m is recomputed from that KF's stored corner observation
+    M = state.M
+    A = state.kf_mk_slot.shape[1]
+    # pick one observing (kf, a) per marker: the first by layout
+    obs_mask = (
+        state.kf_mk_valid
+        & (state.kf_mk_slot >= 0)
+        & state.kf_valid[:, None]
+    )
+    slot_of = jnp.where(obs_mask, state.kf_mk_slot, M)
+    flat = slot_of.reshape(-1)
+    first_obs = jnp.full((M + 1,), K * A, jnp.int32).at[flat].min(
+        jnp.arange(K * A, dtype=jnp.int32)
+    )[:M]
+    has_obs = first_obs < K * A
+    kf_of = jnp.clip(first_obs // A, 0, K - 1)
+    a_of = first_obs % A
+    uv = state.kf_mk_uv[kf_of, a_of]                     # [M, 4, 2]
+    xn = cam_mod.pixels_to_normalized(cam, uv)
+    ippe_res = ippe_square(cfg.aruco.marker_size, xn)
+    Rk_m = ippe_res.R[:, 0]
+    tk_m = ippe_res.t[:, 0]
+    Rw_k, tw_k = se3_inverse(R_new[kf_of], t_new[kf_of])
+    Rwm_new, twm_new = se3_compose(Rw_k, tw_k, Rk_m, tk_m)
+    upd = state.mk_valid & has_obs
+    mk_Rwm = jnp.where(upd[:, None, None], Rwm_new, state.mk_Rwm)
+    mk_twm = jnp.where(upd[:, None], twm_new, state.mk_twm)
+
+    state = state._replace(
+        kf_Rcw=R_new,
+        kf_tcw=t_new,
+        pt_xyz=pt_xyz,
+        mk_Rwm=mk_Rwm,
+        mk_twm=mk_twm,
+        kf_mk_old=jnp.zeros_like(state.kf_mk_old),
+        big_change_idx=state.big_change_idx + 1,
+    )
+    return state, out.chi2

@@ -1,0 +1,469 @@
+"""Map maintenance: keyframe insertion, initialization, triangulation,
+point culling, local/global BA.
+
+Replaces LocalMapping (reference src/LocalMapping.cc) + the map-building
+parts of Tracking (CreateInitialMapMonocular, Tracking.cc:690-819;
+CreateNewKeyFrame, :1394-1460). The mapping 'thread' becomes sequential
+jitted steps invoked by the System loop after each keyframe insertion
+(SURVEY.md §5: thread pipeline -> phases of one program).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from orb_slam2_aruco_tpu.config import SlamConfig
+from orb_slam2_aruco_tpu.geometry import camera as cam_mod
+from orb_slam2_aruco_tpu.geometry.camera import Camera
+from orb_slam2_aruco_tpu.geometry.lie import (
+    se3_apply,
+    se3_compose,
+    se3_inverse,
+)
+from orb_slam2_aruco_tpu.geometry.triangulate import triangulate_dlt
+from orb_slam2_aruco_tpu.ops import matching
+from orb_slam2_aruco_tpu.optim import ba
+from orb_slam2_aruco_tpu.pipeline.frontend import Frame, scale_sigma2
+from orb_slam2_aruco_tpu.worldmap.state import MapState, first_free_slot, free_slots
+
+
+def _scale_factors(cfg: SlamConfig):
+    return jnp.asarray(
+        [cfg.orb.scale_factor**l for l in range(cfg.orb.num_levels)],
+        dtype=jnp.float32,
+    )
+
+
+# ---------------------------------------------------------------------------
+# keyframe insertion
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def create_keyframe(
+    state: MapState,
+    frame: Frame,
+    Rcw, tcw,
+    obs_point,             # [N] current associations
+    slots,                 # [A] marker-slot binding (-1 = not in map yet)
+    frame_id, ts,
+    cam: Camera,
+    cfg: SlamConfig,
+):
+    """Insert the frame as a keyframe; create MapAruco entries for new good
+    markers (reference CreateNewKeyFrame, Tracking.cc:1394-1460: new good
+    marker => MapAruco with Twm = Twc * Tcm)."""
+    k = first_free_slot(state.kf_valid)
+    A = slots.shape[0]
+    # new markers: good, valid, not bound
+    new_mk = frame.mk_valid & frame.mk_good & (slots < 0)
+    mk_free = free_slots(state.mk_valid, A)     # [A] candidate slots
+    new_rank = jnp.cumsum(new_mk.astype(jnp.int32)) - 1
+    can_alloc = new_mk & (new_rank < A) & ~state.mk_valid[mk_free[jnp.clip(new_rank, 0, A - 1)]]
+    alloc_slot = mk_free[jnp.clip(new_rank, 0, A - 1)]
+    final_slot = jnp.where(can_alloc, alloc_slot, slots)  # [A] (-1 if neither)
+
+    # marker world pose for new markers: Twm = Twc * Tcm
+    Rwc, twc = se3_inverse(Rcw, tcw)
+    Rwm_new, twm_new = se3_compose(
+        jnp.broadcast_to(Rwc, frame.mk_Rcm.shape),
+        jnp.broadcast_to(twc, frame.mk_tcm.shape),
+        frame.mk_Rcm, frame.mk_tcm,
+    )
+    mk_Rwm = state.mk_Rwm
+    mk_twm = state.mk_twm
+    mk_id = state.mk_id
+    mk_valid = state.mk_valid
+    tgt = jnp.where(can_alloc, alloc_slot, state.M)  # dump invalid past end
+    mk_Rwm = jnp.concatenate([mk_Rwm, jnp.zeros((1, 3, 3), mk_Rwm.dtype)]).at[
+        tgt
+    ].set(Rwm_new)[: state.M]
+    mk_twm = jnp.concatenate([mk_twm, jnp.zeros((1, 3), mk_twm.dtype)]).at[tgt].set(
+        twm_new
+    )[: state.M]
+    mk_id = jnp.concatenate([mk_id, jnp.zeros((1,), mk_id.dtype)]).at[tgt].set(
+        frame.mk_ids
+    )[: state.M]
+    mk_valid = jnp.concatenate([mk_valid, jnp.zeros((1,), bool)]).at[tgt].set(
+        can_alloc
+    )[: state.M]
+
+    state = state._replace(
+        kf_Rcw=state.kf_Rcw.at[k].set(Rcw),
+        kf_tcw=state.kf_tcw.at[k].set(tcw),
+        kf_valid=state.kf_valid.at[k].set(True),
+        kf_frame_id=state.kf_frame_id.at[k].set(frame_id),
+        kf_ts=state.kf_ts.at[k].set(ts),
+        kf_kp_uv=state.kf_kp_uv.at[k].set(frame.kp_uv),
+        kf_kp_octave=state.kf_kp_octave.at[k].set(frame.kp_octave),
+        kf_kp_angle=state.kf_kp_angle.at[k].set(frame.kp_angle),
+        kf_desc=state.kf_desc.at[k].set(frame.desc),
+        kf_kp_valid=state.kf_kp_valid.at[k].set(frame.kp_valid),
+        kf_obs_point=state.kf_obs_point.at[k].set(obs_point),
+        mk_Rwm=mk_Rwm,
+        mk_twm=mk_twm,
+        mk_id=mk_id,
+        mk_valid=mk_valid,
+        kf_mk_slot=state.kf_mk_slot.at[k].set(final_slot),
+        kf_mk_uv=state.kf_mk_uv.at[k].set(frame.mk_corners),
+        kf_mk_valid=state.kf_mk_valid.at[k].set(
+            frame.mk_valid & (final_slot >= 0)
+        ),
+        kf_bow=state.kf_bow.at[k].set(frame.bow),
+    )
+    return state, k
+
+
+# ---------------------------------------------------------------------------
+# triangulation of new map points
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "max_new"))
+def triangulate_new_points(
+    state: MapState,
+    kf_new, kf_prev,
+    cam: Camera,
+    cfg: SlamConfig,
+    max_new: int = 256,
+):
+    """Two-view triangulation between a new keyframe and a neighbor
+    (CreateNewMapPoints, reference src/LocalMapping.cc:222-467): match
+    features without map points, epipolar-gate, DLT, cheirality/reproj/
+    scale gates, allocate point slots."""
+    N = state.kf_kp_uv.shape[1]
+    d_new = state.kf_desc[kf_new]
+    d_prev = state.kf_desc[kf_prev]
+    free_new = state.kf_kp_valid[kf_new] & (state.kf_obs_point[kf_new] < 0)
+    free_prev = state.kf_kp_valid[kf_prev] & (state.kf_obs_point[kf_prev] < 0)
+    dist = matching.distance_matrix(d_new, d_prev, free_new, free_prev)
+    m = matching.nn_match(
+        dist, max_dist=float(cfg.matcher.th_low),
+        nn_ratio=0.8, mutual=True,
+    )
+    R1 = state.kf_Rcw[kf_prev]
+    t1 = state.kf_tcw[kf_prev]
+    R2 = state.kf_Rcw[kf_new]
+    t2 = state.kf_tcw[kf_new]
+    uv_new = state.kf_kp_uv[kf_new]
+    uv_prev = state.kf_kp_uv[kf_prev][jnp.maximum(m.idx, 0)]
+    xn2 = cam_mod.pixels_to_normalized(cam, uv_new)
+    xn1 = cam_mod.pixels_to_normalized(cam, uv_prev)
+    Nb = xn1.shape[0]
+    xyz = triangulate_dlt(
+        jnp.broadcast_to(R1, (Nb, 3, 3)), jnp.broadcast_to(t1, (Nb, 3)),
+        jnp.broadcast_to(R2, (Nb, 3, 3)), jnp.broadcast_to(t2, (Nb, 3)),
+        xn1, xn2,
+    )
+    z1 = se3_apply(R1[None], t1[None], xyz)[..., 2]
+    p2 = se3_apply(R2[None], t2[None], xyz)
+    z2 = p2[..., 2]
+    uv1_re = cam_mod.project(cam, se3_apply(R1[None], t1[None], xyz))
+    uv2_re = cam_mod.project(cam, p2)
+    e1 = jnp.sum((uv1_re - uv_prev) ** 2, axis=-1)
+    e2 = jnp.sum((uv2_re - uv_new) ** 2, axis=-1)
+    sig2 = scale_sigma2(cfg.orb.num_levels, cfg.orb.scale_factor)
+    s2_new = sig2[state.kf_kp_octave[kf_new]]
+    # parallax: rays from the two camera centers
+    _, c1 = se3_inverse(R1, t1)
+    _, c2 = se3_inverse(R2, t2)
+    r1 = xyz - c1[None]
+    r2v = xyz - c2[None]
+    cosp = jnp.sum(r1 * r2v, axis=-1) / jnp.maximum(
+        jnp.linalg.norm(r1, axis=-1) * jnp.linalg.norm(r2v, axis=-1), 1e-9
+    )
+    good = (
+        m.valid
+        & jnp.all(jnp.isfinite(xyz), axis=-1)
+        & (z1 > 0.02)
+        & (z2 > 0.02)
+        & (e1 * s2_new < 5.991)
+        & (e2 * s2_new < 5.991)
+        & (cosp < 0.9999)
+    )
+    # allocate slots
+    rank = jnp.cumsum(good.astype(jnp.int32)) - 1
+    slots_free = free_slots(state.pt_valid, max_new)
+    can = good & (rank < max_new)
+    pslot = slots_free[jnp.clip(rank, 0, max_new - 1)]
+    can = can & ~state.pt_valid[pslot]
+    tgt = jnp.where(can, pslot, state.L)
+
+    # point attributes
+    view = xyz - c2[None]
+    vdist = jnp.linalg.norm(view, axis=-1)
+    normal = view / jnp.maximum(vdist[..., None], 1e-9)
+    sf = _scale_factors(cfg)
+    lvl = state.kf_kp_octave[kf_new]
+    max_d = vdist * sf[lvl]
+    min_d = max_d / sf[-1]
+
+    def scat(arr, vals):
+        pad = jnp.zeros((1,) + arr.shape[1:], arr.dtype)
+        return jnp.concatenate([arr, pad]).at[tgt].set(vals)[: state.L]
+
+    state = state._replace(
+        pt_xyz=scat(state.pt_xyz, xyz),
+        pt_valid=scat(state.pt_valid, can),
+        pt_desc=scat(state.pt_desc, d_new),
+        pt_normal=scat(state.pt_normal, normal),
+        pt_min_dist=scat(state.pt_min_dist, min_d),
+        pt_max_dist=scat(state.pt_max_dist, max_d),
+        pt_ref_kf=scat(state.pt_ref_kf, jnp.full((Nb,), 1, jnp.int32) * kf_new),
+        pt_first_kf=scat(state.pt_first_kf, jnp.full((Nb,), 1, jnp.int32) * kf_new),
+        pt_found=scat(state.pt_found, jnp.ones((Nb,))),
+        pt_visible=scat(state.pt_visible, jnp.ones((Nb,))),
+    )
+    # observations in both keyframes
+    obs_new = state.kf_obs_point[kf_new]
+    obs_new = jnp.where(can, pslot, obs_new)
+    obs_prev_row = state.kf_obs_point[kf_prev]
+    prev_tgt = jnp.where(can, m.idx, N)
+    obs_prev_row = jnp.concatenate(
+        [obs_prev_row, jnp.zeros((1,), jnp.int32)]
+    ).at[prev_tgt].set(jnp.where(can, pslot, -1))[:N]
+    obs_prev_row = jnp.where(
+        obs_prev_row >= 0, obs_prev_row, state.kf_obs_point[kf_prev]
+    )
+    state = state._replace(
+        kf_obs_point=state.kf_obs_point.at[kf_new]
+        .set(obs_new)
+        .at[kf_prev]
+        .set(obs_prev_row)
+    )
+    return state, jnp.sum(can.astype(jnp.int32))
+
+
+# ---------------------------------------------------------------------------
+# point culling
+# ---------------------------------------------------------------------------
+
+
+@jax.jit
+def cull_points(state: MapState, current_kf_count, min_found_ratio: float = 0.25):
+    """MapPointCulling (reference src/LocalMapping.cc:185-220): drop points
+    whose found/visible ratio is poor. (The 2-obs-in-2-KF gate needs obs
+    counting — approximated via the incidence count.)"""
+    ratio = state.pt_found / jnp.maximum(state.pt_visible, 1.0)
+    # observation count from the observation table
+    L = state.L
+    obs = jnp.where(state.kf_kp_valid, state.kf_obs_point, -1)
+    cnt = jnp.zeros((L + 1,), jnp.int32).at[
+        jnp.where(obs >= 0, obs, L).reshape(-1)
+    ].add(1)[:L]
+    age = current_kf_count - jnp.maximum(state.pt_first_kf, 0)
+    bad = state.pt_valid & (
+        (ratio < min_found_ratio) | ((age >= 3) & (cnt <= 2))
+    )
+    return state._replace(pt_valid=state.pt_valid & ~bad), jnp.sum(
+        bad.astype(jnp.int32)
+    )
+
+
+# ---------------------------------------------------------------------------
+# local / global bundle adjustment over the map state
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "max_cams", "max_pts", "iters", "window_all")
+)
+def bundle_adjust(
+    state: MapState,
+    center_kf,
+    cam: Camera,
+    cfg: SlamConfig,
+    max_cams: int = 16,
+    max_pts: int = 4096,
+    iters: int = 10,
+    window_all: bool = False,
+):
+    """Windowed BA over the newest `max_cams` keyframes (LocalBundleAdjustment,
+    reference src/Optimizer.cc:772-1242) or all keyframes (global BA) when
+    window_all. The oldest selected camera (and the map's first keyframe) are
+    held fixed as gauge anchors; all valid markers participate with corner
+    edges at weight 25."""
+    K, N = state.kf_obs_point.shape
+    A = state.kf_mk_slot.shape[1]
+    M = state.M
+    # ---- select cameras: newest max_cams by frame id ----
+    order_key = jnp.where(state.kf_valid, state.kf_frame_id, -1)
+    if window_all:
+        sel_val, sel = jax.lax.top_k(
+            jnp.where(state.kf_valid, 1, 0) * (order_key + 2), max_cams
+        )
+    else:
+        sel_val, sel = jax.lax.top_k(order_key, max_cams)
+    sel_ok = sel_val > 0 if window_all else (sel_val >= 0)
+    sel_ok = sel_ok & state.kf_valid[sel]
+    # gauge: fix the oldest selected valid camera + the map's first KF if in
+    first_kf = jnp.argmin(
+        jnp.where(state.kf_valid, state.kf_frame_id, jnp.int32(2**30))
+    )
+    oldest_pos = jnp.argmin(jnp.where(sel_ok, sel_val, jnp.int32(2**30)))
+    cam_free = sel_ok.astype(jnp.float32)
+    cam_free = cam_free.at[oldest_pos].set(0.0)
+    cam_free = jnp.where(sel == first_kf, 0.0, cam_free)
+
+    # ---- select points observed by selected cameras ----
+    obs_sel = state.kf_obs_point[sel]                 # [max_cams, N]
+    obs_flat = jnp.where(
+        (obs_sel >= 0) & sel_ok[:, None] & state.kf_kp_valid[sel], obs_sel, state.L
+    ).reshape(-1)
+    pt_hit = jnp.zeros((state.L + 1,), bool).at[obs_flat].set(True)[: state.L]
+    pt_hit = pt_hit & state.pt_valid
+    hit_val, pt_sel = jax.lax.top_k(pt_hit.astype(jnp.int32), max_pts)
+    pt_ok = hit_val > 0
+    # compact index: L -> [0, max_pts)
+    comp = jnp.full((state.L + 1,), -1, jnp.int32)
+    comp = comp.at[jnp.where(pt_ok, pt_sel, state.L)].set(
+        jnp.arange(max_pts, dtype=jnp.int32)
+    )
+    comp = comp[: state.L]
+
+    # ---- point edges: all features of selected cameras ----
+    e_kf = jnp.repeat(jnp.arange(max_cams, dtype=jnp.int32), N)
+    obs_comp = comp[jnp.clip(obs_sel, 0, state.L - 1)]
+    e_pt = jnp.where(obs_sel >= 0, obs_comp, -1).reshape(-1)
+    e_uv = state.kf_kp_uv[sel].reshape(-1, 2)
+    sig2 = scale_sigma2(cfg.orb.num_levels, cfg.orb.scale_factor)
+    e_info = sig2[state.kf_kp_octave[sel]].reshape(-1)
+    e_mask = (
+        (e_pt >= 0)
+        & state.kf_kp_valid[sel].reshape(-1)
+        & jnp.repeat(sel_ok, N)
+    ).astype(jnp.float32)
+    e_pt = jnp.maximum(e_pt, 0)
+
+    # ---- marker edges: marker observations of selected cameras ----
+    mk_slot_sel = state.kf_mk_slot[sel]               # [max_cams, A]
+    m_kf = jnp.repeat(jnp.arange(max_cams, dtype=jnp.int32), A * 4)
+    m_marker = jnp.repeat(
+        jnp.clip(mk_slot_sel, 0, M - 1).reshape(-1), 4
+    )
+    m_corner = jnp.tile(jnp.arange(4, dtype=jnp.int32), max_cams * A)
+    m_uv = state.kf_mk_uv[sel].reshape(-1, 2)
+    m_ok = (
+        (mk_slot_sel >= 0)
+        & state.kf_mk_valid[sel]
+        & ~state.kf_mk_old[sel]
+        & sel_ok[:, None]
+    )
+    m_mask = jnp.repeat(m_ok.reshape(-1), 4).astype(jnp.float32)
+    m_info = jnp.full((max_cams * A * 4,), cfg.aruco.edge_weight)
+
+    prob = ba.BAProblem(
+        Rcw=state.kf_Rcw[sel],
+        tcw=state.kf_tcw[sel],
+        points=state.pt_xyz[pt_sel],
+        Rwm=state.mk_Rwm,
+        twm=state.mk_twm,
+        marker_side=state.mk_side,
+        e_kf=e_kf, e_pt=e_pt, e_uv=e_uv, e_info=e_info, e_mask=e_mask,
+        m_kf=m_kf, m_marker=m_marker, m_corner=m_corner, m_uv=m_uv,
+        m_info=m_info, m_mask=m_mask,
+        cam_free=cam_free,
+        pt_free=pt_ok.astype(jnp.float32),
+        marker_free=state.mk_valid.astype(jnp.float32),
+    )
+    out = ba.ba_solve(
+        prob, cam, iters=iters,
+        huber_delta=cfg.optim.huber_delta,
+        lam0=cfg.optim.lm_lambda_init,
+    )
+    # ---- write back (scatter with one pad row so masked rows are no-ops) ----
+    padR = jnp.zeros((1, 3, 3), state.kf_Rcw.dtype)
+    kf_Rcw = jnp.concatenate([state.kf_Rcw, padR]).at[
+        jnp.where(sel_ok, sel, K)
+    ].set(out.Rcw)[:K]
+    padt = jnp.zeros((1, 3), state.kf_tcw.dtype)
+    kf_tcw = jnp.concatenate([state.kf_tcw, padt]).at[
+        jnp.where(sel_ok, sel, K)
+    ].set(out.tcw)[:K]
+    padp = jnp.zeros((1, 3), state.pt_xyz.dtype)
+    pt_xyz = jnp.concatenate([state.pt_xyz, padp]).at[
+        jnp.where(pt_ok, pt_sel, state.L)
+    ].set(out.points)[: state.L]
+    # outlier edge erase (reference erases obs with chi2 > 5.991 after BA)
+    edge_bad = (out.edge_chi2 > cfg.optim.chi2_mono) & (e_mask > 0)
+    obs_rows = state.kf_obs_point[sel].reshape(-1)
+    obs_rows = jnp.where(edge_bad, -1, obs_rows).reshape(max_cams, N)
+    kf_obs = jnp.concatenate(
+        [state.kf_obs_point, jnp.zeros((1, N), jnp.int32)]
+    ).at[jnp.where(sel_ok, sel, K)].set(obs_rows)[:K]
+    state = state._replace(
+        kf_Rcw=kf_Rcw,
+        kf_tcw=kf_tcw,
+        pt_xyz=pt_xyz,
+        kf_obs_point=kf_obs,
+        mk_Rwm=jnp.where(state.mk_valid[:, None, None], out.Rwm, state.mk_Rwm),
+        mk_twm=jnp.where(state.mk_valid[:, None], out.twm, state.mk_twm),
+    )
+    return state, out.chi2
+
+
+# ---------------------------------------------------------------------------
+# keyframe culling
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def cull_keyframes(state: MapState, keep_kf, cfg: SlamConfig):
+    """KeyFrameCulling (reference src/LocalMapping.cc:1000-1082): a keyframe
+    is redundant if >= 90% of its map points are observed by >= 3 other
+    keyframes; keep it anyway if it observes a marker with <= 5 total
+    observations (the marker-protection rule, LocalMapping.cc:1061-1079).
+    `keep_kf` (the current KF) and the map's first keyframe are never culled.
+    At most one keyframe is culled per call (like one pass of the reference's
+    loop over local keyframes)."""
+    K, N = state.kf_obs_point.shape
+    L = state.L
+    obs = jnp.where(
+        state.kf_kp_valid & state.kf_valid[:, None], state.kf_obs_point, -1
+    )
+    # observers per point
+    cnt = jnp.zeros((L + 1,), jnp.int32).at[
+        jnp.where(obs >= 0, obs, L).reshape(-1)
+    ].add(1)[:L]
+    has_pt = obs >= 0
+    redundant = has_pt & (cnt[jnp.clip(obs, 0, L - 1)] >= 4)  # self + 3 others
+    n_pts = jnp.sum(has_pt.astype(jnp.float32), axis=1)
+    n_red = jnp.sum(redundant.astype(jnp.float32), axis=1)
+    ratio = n_red / jnp.maximum(n_pts, 1.0)
+
+    # marker protection: total observations per marker
+    M = state.M
+    mk_obs_flat = jnp.where(
+        state.kf_mk_valid & state.kf_valid[:, None], state.kf_mk_slot, -1
+    )
+    mk_cnt = jnp.zeros((M + 1,), jnp.int32).at[
+        jnp.where(mk_obs_flat >= 0, mk_obs_flat, M).reshape(-1)
+    ].add(1)[:M]
+    rare = mk_cnt <= cfg.map.kf_cull_marker_min_obs
+    sees_rare = jnp.any(
+        jnp.where(
+            mk_obs_flat >= 0, rare[jnp.clip(mk_obs_flat, 0, M - 1)], False
+        ),
+        axis=1,
+    )
+
+    first_kf = jnp.argmin(
+        jnp.where(state.kf_valid, state.kf_frame_id, jnp.int32(2**30))
+    )
+    candidate = (
+        state.kf_valid
+        & (ratio > cfg.map.kf_cull_redundancy)
+        & (n_pts > 10)
+        & ~sees_rare
+    )
+    candidate = candidate.at[keep_kf].set(False).at[first_kf].set(False)
+    any_c = jnp.any(candidate)
+    victim = jnp.argmax(candidate.astype(jnp.int32))
+    kf_valid = jnp.where(
+        any_c, state.kf_valid.at[victim].set(False), state.kf_valid
+    )
+    return state._replace(kf_valid=kf_valid), jnp.where(any_c, victim, -1)

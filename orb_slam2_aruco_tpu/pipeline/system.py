@@ -1,0 +1,354 @@
+"""System facade: the host-side orchestration loop.
+
+Replaces System + the Tracking state machine (reference src/System.cc,
+src/Tracking.cc:192-492). The reference's 4 POSIX threads become sequential
+phases of one program driven here (SURVEY.md §5): per frame —
+frontend -> (init | track cascade -> local map) -> [keyframe -> mapping
+phase]. Only scalars cross the device->host boundary for control flow;
+all heavy work is inside jitted fixed-shape steps.
+
+Tracking states mirror the reference (Tracking.h:86-92):
+NOT_INITIALIZED -> OK -> LOST (-> relocalize by markers -> OK).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from orb_slam2_aruco_tpu.config import SlamConfig
+from orb_slam2_aruco_tpu.geometry import camera as cam_mod
+from orb_slam2_aruco_tpu.geometry.lie import se3_compose, se3_inverse
+from orb_slam2_aruco_tpu.pipeline import initializer, loop_closing, mapping, tracking
+from orb_slam2_aruco_tpu.pipeline.frontend import Frame, make_frame
+from orb_slam2_aruco_tpu.worldmap.state import MapState, empty_map
+
+
+class TrackingState(enum.Enum):
+    NO_IMAGES_YET = 0
+    NOT_INITIALIZED = 1
+    OK = 2
+    LOST = 3
+
+
+@dataclasses.dataclass
+class FrameRecord:
+    frame_id: int
+    ts: float
+    Rcw: np.ndarray
+    tcw: np.ndarray
+    state: TrackingState
+
+
+class SlamSystem:
+    """Monocular SLAM engine facade (System::TrackMonocular equivalent)."""
+
+    def __init__(self, cfg: SlamConfig):
+        self.cfg = cfg
+        self.cam = cam_mod.camera_from_config(cfg.camera)
+        self.map = empty_map(cfg)
+        self.state = TrackingState.NO_IMAGES_YET
+        self.frame_id = 0
+        self.n_keyframes = 0
+        self.last_kf_frame_id = -(10**9)
+        self.ref_kf = 0
+        self.last_kf_slot = -1
+        self.prev_kf_slot = -1
+        # last-frame context for motion-model matching
+        self.last_frame: Optional[Frame] = None
+        self.last_obs = None
+        self.last_pose: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None
+        self.vel: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None
+        # init
+        self.init_frame: Optional[Frame] = None
+        self.init_frame_id = -1
+        # outputs
+        self.trajectory: List[FrameRecord] = []
+        self.localization_only = False
+        self.stats = {"kf_inserted": 0, "pts_created": 0, "ba_runs": 0,
+                      "reloc": 0, "aruco_seeded": 0, "loops_closed": 0}
+        self.last_loop_kf_count = 0
+
+    # ------------------------------------------------------------------
+    def track_monocular(self, img: np.ndarray, ts: float):
+        """Process one grayscale frame ([H, W] float32 0..255). Returns the
+        world->camera pose (Rcw, tcw) as numpy, or None while uninitialized/
+        lost."""
+        frame = make_frame(jnp.asarray(img, dtype=jnp.float32), self.cam, self.cfg)
+        fid = self.frame_id
+        self.frame_id += 1
+
+        if self.state in (TrackingState.NO_IMAGES_YET, TrackingState.NOT_INITIALIZED):
+            pose = self._try_initialize(frame, fid, ts)
+        elif self.state is TrackingState.OK:
+            pose = self._track(frame, fid, ts)
+        else:
+            pose = self._relocalize(frame, fid, ts)
+
+        Rcw, tcw = pose if pose is not None else (np.eye(3, dtype=np.float32),
+                                                  np.zeros(3, dtype=np.float32))
+        self.trajectory.append(
+            FrameRecord(fid, ts, np.asarray(Rcw), np.asarray(tcw), self.state)
+        )
+        return pose
+
+    # ------------------------------------------------------------------
+    def _try_initialize(self, frame: Frame, fid: int, ts: float):
+        cfg = self.cfg
+        n_good_mk = int(jnp.sum(frame.mk_good))
+        n_kp = int(jnp.sum(frame.kp_valid))
+        if self.init_frame is None:
+            if n_good_mk > 0 and n_kp >= cfg.tracking.min_init_features:
+                self.init_frame = frame
+                self.init_frame_id = fid
+                self.init_ts = ts
+                self.state = TrackingState.NOT_INITIALIZED
+            return None
+        cand = initializer.marker_relative_pose(
+            self.init_frame, frame, self.cam, cfg
+        )
+        if not bool(cand.ok):
+            # keep the reference frame while the only blocker is a small
+            # baseline (the camera just hasn't moved enough yet); replace it
+            # when there is no consistent common marker
+            bad_geometry = float(cand.err) >= cfg.tracking.init_marker_reproj_err
+            if bad_geometry and n_good_mk > 0:
+                self.init_frame = frame
+                self.init_frame_id = fid
+                self.init_ts = ts
+            return None
+        # --- create initial map ---------------------------------------
+        eye = jnp.eye(3, dtype=jnp.float32)
+        zero = jnp.zeros(3, dtype=jnp.float32)
+        slots1 = tracking.bind_markers(self.map, self.init_frame)  # all -1
+        N = self.init_frame.kp_uv.shape[0]
+        no_obs = jnp.full((N,), -1, jnp.int32)
+        self.map, kf1 = mapping.create_keyframe(
+            self.map, self.init_frame, eye, zero, no_obs, slots1,
+            self.init_frame_id, self.init_ts, self.cam, cfg,
+        )
+        slots2 = tracking.bind_markers(self.map, frame)
+        self.map, kf2 = mapping.create_keyframe(
+            self.map, frame, cand.R21, cand.t21, no_obs, slots2,
+            fid, ts, self.cam, cfg,
+        )
+        self.map, n_new = mapping.triangulate_new_points(
+            self.map, kf2, kf1, self.cam, cfg, max_new=512
+        )
+        self.map, chi2 = mapping.bundle_adjust(
+            self.map, kf2, self.cam, cfg, max_cams=4, max_pts=1024,
+            iters=cfg.optim.global_ba_iters, window_all=True,
+        )
+        # marker init is metric (IPPE with true side length)
+        self.map = self.map._replace(scale_done=jnp.asarray(True))
+        self.n_keyframes = 2
+        self.stats["kf_inserted"] += 2
+        self.stats["pts_created"] += int(n_new)
+        self.ref_kf = int(kf2)
+        self.prev_kf_slot = int(kf1)
+        self.last_kf_slot = int(kf2)
+        self.last_kf_frame_id = fid
+        self.last_frame = frame
+        Rcw, tcw = cand.R21, cand.t21
+        self.last_obs = self.map.kf_obs_point[kf2]
+        self.last_pose = (Rcw, tcw)
+        self.vel = None
+        self.state = TrackingState.OK
+        return np.asarray(Rcw), np.asarray(tcw)
+
+    # ------------------------------------------------------------------
+    def _track(self, frame: Frame, fid: int, ts: float):
+        cfg = self.cfg
+        slots = tracking.bind_markers(self.map, frame)
+
+        # pose seed: marker candidate, else motion model, else last pose
+        ok_a, R_a, t_a, err_a = tracking.aruco_pose_candidate(
+            self.map, frame, slots, self.cam, cfg
+        )
+        use_aruco = bool(ok_a)
+        if use_aruco:
+            R0, t0 = R_a, t_a
+            self.stats["aruco_seeded"] += 1
+        elif self.vel is not None:
+            R0, t0 = se3_compose(
+                self.vel[0], self.vel[1], self.last_pose[0], self.last_pose[1]
+            )
+        else:
+            R0, t0 = self.last_pose
+
+        tr = tracking.track_frame(
+            self.map, frame, slots, R0, t0,
+            self.last_frame.kp_uv, self.last_frame.desc, self.last_obs,
+            self.last_frame.kp_valid, self.last_frame.kp_octave,
+            self.cam, cfg, search_radius=cfg.matcher.search_radius_motion,
+        )
+        if int(tr.n_inliers) < cfg.tracking.min_inliers_track:
+            tr = tracking.track_vs_keyframe(
+                self.map, frame, slots, jnp.asarray(self.ref_kf), R0, t0,
+                self.cam, cfg,
+            )
+        if int(tr.n_inliers) < cfg.tracking.min_inliers_track and not use_aruco:
+            self.state = TrackingState.LOST
+            return None
+
+        # local map refinement
+        (tr2, (vis, found)) = tracking.track_local_map(
+            self.map, frame, slots, tr.Rcw, tr.tcw, tr.obs_point, self.cam, cfg
+        )
+        self.map = self.map._replace(pt_visible=vis, pt_found=found)
+        n_map_inliers = int(tr2.n_inliers)
+        if n_map_inliers < cfg.tracking.min_inliers_track:
+            self.state = TrackingState.LOST
+            return None
+        Rcw, tcw = tr2.Rcw, tr2.tcw
+
+        # velocity: T_cur * T_last^-1
+        Rl_inv, tl_inv = se3_inverse(*self.last_pose)
+        self.vel = se3_compose(Rcw, tcw, Rl_inv, tl_inv)
+
+        # keyframe decision (NeedNewKeyFrame, Tracking.cc:1296-1392)
+        if not self.localization_only:
+            new_good = bool(jnp.any(frame.mk_good & frame.mk_valid & (slots < 0)))
+            since_kf = fid - self.last_kf_frame_id
+            weak = n_map_inliers < 50 and since_kf >= 3
+            timeout = since_kf >= cfg.tracking.max_frames_between_kf
+            if new_good or weak or timeout:
+                self._insert_keyframe(frame, Rcw, tcw, tr2.obs_point, slots,
+                                      fid, ts)
+
+        self.last_frame = frame
+        self.last_obs = tr2.obs_point
+        self.last_pose = (Rcw, tcw)
+        return np.asarray(Rcw), np.asarray(tcw)
+
+    # ------------------------------------------------------------------
+    def _insert_keyframe(self, frame, Rcw, tcw, obs_point, slots, fid, ts):
+        cfg = self.cfg
+        if self.n_keyframes >= cfg.map.max_keyframes:
+            return
+        self.map, k = mapping.create_keyframe(
+            self.map, frame, Rcw, tcw, obs_point, slots, fid, ts, self.cam, cfg
+        )
+        self.n_keyframes += 1
+        self.stats["kf_inserted"] += 1
+        prev = self.last_kf_slot
+        self.prev_kf_slot = prev
+        self.last_kf_slot = int(k)
+        self.last_kf_frame_id = fid
+        self.ref_kf = int(k)
+        if prev >= 0:
+            self.map, n_new = mapping.triangulate_new_points(
+                self.map, k, jnp.asarray(prev), self.cam, cfg, max_new=256
+            )
+            self.stats["pts_created"] += int(n_new)
+        self.map, _ = mapping.cull_points(
+            self.map, jnp.asarray(self.n_keyframes, jnp.int32),
+            cfg.map.cull_found_ratio,
+        )
+        if self.n_keyframes > 2:
+            self.map, chi2 = mapping.bundle_adjust(
+                self.map, jnp.asarray(int(k)), self.cam, cfg,
+                max_cams=8, max_pts=2048,
+                iters=cfg.optim.local_ba_iters_second,
+            )
+            self.stats["ba_runs"] += 1
+        # ---- loop closing phase (LoopClosing::Run equivalent) ----------
+        if (
+            self.n_keyframes - self.last_loop_kf_count
+            >= cfg.loop.min_kfs_between_loops
+        ):
+            det = loop_closing.detect_loop_by_marker(
+                self.map, jnp.asarray(int(k)),
+                min_gap=cfg.loop.min_kfs_between_loops,
+            )
+            if bool(det.found):
+                cand = loop_closing.compute_sim3(
+                    self.map, jnp.asarray(int(k)), det.kf_loop,
+                    det.marker_slot, self.cam, cfg,
+                )
+                if bool(cand.ok):
+                    self.map, _ = loop_closing.correct_loop(
+                        self.map, jnp.asarray(int(k)), det.kf_loop,
+                        cand.s, cand.R, cand.t, self.cam, cfg,
+                    )
+                    # global BA after loop correction (GBA thread analogue)
+                    self.map, _ = mapping.bundle_adjust(
+                        self.map, jnp.asarray(int(k)), self.cam, cfg,
+                        max_cams=min(32, cfg.map.max_keyframes),
+                        max_pts=2048, iters=10, window_all=True,
+                    )
+                    self.last_loop_kf_count = self.n_keyframes
+                    self.stats["loops_closed"] += 1
+
+    # ------------------------------------------------------------------
+    def _relocalize(self, frame: Frame, fid: int, ts: float):
+        """Marker relocalization (RelocalizationByAruco, Tracking.cc:
+        1665-1739): a single bound good marker gives the camera pose."""
+        cfg = self.cfg
+        slots = tracking.bind_markers(self.map, frame)
+        ok, R0, t0, err = tracking.aruco_pose_candidate(
+            self.map, frame, slots, self.cam, cfg
+        )
+        tr = None
+        if bool(ok):
+            obs0 = jnp.full((frame.kp_uv.shape[0],), -1, jnp.int32)
+            (tr, (vis, found)) = tracking.track_local_map(
+                self.map, frame, slots, R0, t0, obs0, self.cam, cfg
+            )
+            if int(tr.n_inliers) < cfg.tracking.min_inliers_track:
+                tr = None
+        if tr is None:
+            # BoW relocalization fallback (Relocalization, Tracking.cc:1741+)
+            idx, vals, keep = tracking.reloc_candidates(self.map, frame, cfg)
+            for c in range(len(np.asarray(idx))):
+                if not bool(keep[c]):
+                    continue
+                cand = tracking.reloc_pnp(
+                    self.map, frame, slots, idx[c], self.cam, cfg
+                )
+                if int(cand.n_inliers) >= cfg.tracking.min_inliers_track:
+                    (tr, (vis, found)) = tracking.track_local_map(
+                        self.map, frame, slots, cand.Rcw, cand.tcw,
+                        cand.obs_point, self.cam, cfg,
+                    )
+                    if int(tr.n_inliers) >= cfg.tracking.min_inliers_track:
+                        break
+                    tr = None
+        if tr is None:
+            return None
+        self.map = self.map._replace(pt_visible=vis, pt_found=found)
+        self.state = TrackingState.OK
+        self.stats["reloc"] += 1
+        self.last_frame = frame
+        self.last_obs = tr.obs_point
+        self.last_pose = (tr.Rcw, tr.tcw)
+        self.vel = None
+        return np.asarray(tr.Rcw), np.asarray(tr.tcw)
+
+    # ------------------------------------------------------------------
+    def activate_localization_mode(self):
+        """System::ActivateLocalizationMode — stop inserting keyframes."""
+        self.localization_only = True
+
+    def deactivate_localization_mode(self):
+        self.localization_only = False
+
+    def reset(self):
+        """System::Reset — clear the map and all tracking context."""
+        self.map = empty_map(self.cfg)
+        self.state = TrackingState.NO_IMAGES_YET
+        self.n_keyframes = 0
+        self.last_kf_frame_id = -(10**9)
+        self.last_frame = None
+        self.last_obs = None
+        self.last_pose = None
+        self.vel = None
+        self.init_frame = None
+
+    def get_trajectory(self):
+        return self.trajectory

@@ -1,0 +1,331 @@
+"""Tracking: per-frame pose estimation with the marker-first cascade.
+
+Replaces Tracking::Track (reference src/Tracking.cc:192-492) and its helpers:
+  * CheckArucoID (Tracking.cc:856-908)          -> bind_markers
+  * IsArucoWellTrack (Tracking.cc:1062-1168)    -> aruco_pose_candidate
+  * TrackByAruco (Tracking.cc:1170-1240)        -> track_frame(seed='aruco')
+  * TrackWithMotionModel (Tracking.cc:995-1060) -> track_frame(seed='motion')
+  * TrackReferenceKeyFrame (Tracking.cc:910-982)-> track_vs_keyframe
+  * TrackLocalMap (Tracking.cc:1242-1293)       -> track_local_map
+  * RelocalizationByAruco (Tracking.cc:1665-1739) -> aruco_pose_candidate too
+
+Every function is a fixed-shape jitted step; the cascade's branching lives in
+the host System loop which only inspects returned scalars.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from orb_slam2_aruco_tpu.config import SlamConfig
+from orb_slam2_aruco_tpu.geometry import camera as cam_mod
+from orb_slam2_aruco_tpu.geometry.camera import Camera
+from orb_slam2_aruco_tpu.geometry.lie import se3_apply, se3_compose, se3_inverse
+from orb_slam2_aruco_tpu.ops import matching
+from orb_slam2_aruco_tpu.optim import pnp, pose_opt
+from orb_slam2_aruco_tpu.worldmap import retrieval
+from orb_slam2_aruco_tpu.optim.residuals import marker_corner_points_world
+from orb_slam2_aruco_tpu.pipeline.frontend import Frame, scale_sigma2
+from orb_slam2_aruco_tpu.worldmap.state import MapState
+
+
+class TrackResult(NamedTuple):
+    Rcw: jnp.ndarray
+    tcw: jnp.ndarray
+    obs_point: jnp.ndarray   # [N] int32 map-point slot per current feature
+    n_inliers: jnp.ndarray   # int32
+    n_matches: jnp.ndarray   # int32 (pre-optimization matches)
+
+
+# ---------------------------------------------------------------------------
+# markers
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=())
+def bind_markers(state: MapState, frame: Frame):
+    """[A] map marker slot for each frame marker id (-1 if not in map)."""
+    ids = frame.mk_ids  # [A]
+    eq = (ids[:, None] == state.mk_id[None, :]) & state.mk_valid[None, :] & (
+        ids[:, None] >= 0
+    )
+    slot = jnp.argmax(eq.astype(jnp.int32), axis=1)
+    return jnp.where(jnp.any(eq, axis=1), slot, -1)
+
+
+def _marker_obs_arrays(state: MapState, frame: Frame, slots):
+    """Gather fixed-marker edge inputs for pose optimization: corners_w
+    [A, 4, 3], uv [A, 4, 2], mask [A] for frame markers bound to the map.
+    Only 'good' (IPPE-unambiguous) in-map markers participate — the reference
+    gates per-frame with mvbArucoGood and skips old/loop markers
+    (Optimizer.cc:628-676)."""
+    slots_safe = jnp.maximum(slots, 0)
+    Rwm = state.mk_Rwm[slots_safe]
+    twm = state.mk_twm[slots_safe]
+    side = state.mk_side[slots_safe]
+    corners_w = jax.vmap(marker_corner_points_world)(Rwm, twm, side)
+    mask = (slots >= 0) & frame.mk_good & frame.mk_valid
+    return corners_w, frame.mk_corners, mask
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def aruco_pose_candidate(state: MapState, frame: Frame, slots,
+                         cam: Camera, cfg: SlamConfig):
+    """Best camera pose implied by a single bound marker, scored by the
+    reprojection of ALL bound markers (IsArucoWellTrack / marker reloc).
+
+    Returns (ok, Rcw, tcw, mean_err): ok if the best candidate's mean corner
+    reprojection error < threshold."""
+    A = slots.shape[0]
+    slots_safe = jnp.maximum(slots, 0)
+    Rwm = state.mk_Rwm[slots_safe]          # [A, 3, 3]
+    twm = state.mk_twm[slots_safe]
+    # candidate pose from marker a: Tcw = Tcm(a) * Tmw(a)
+    Rmw, tmw = se3_inverse(Rwm, twm)
+    Rc = jnp.einsum("aij,ajk->aik", frame.mk_Rcm, Rmw)
+    tc = jnp.einsum("aij,aj->ai", frame.mk_Rcm, tmw) + frame.mk_tcm
+    cand_ok = (slots >= 0) & frame.mk_good & frame.mk_valid
+
+    corners_w, uv_obs, mask = _marker_obs_arrays(state, frame, slots)
+    cw_flat = corners_w.reshape(-1, 3)      # [4A, 3]
+    uv_flat = uv_obs.reshape(-1, 2)
+    m_flat = jnp.repeat(mask.astype(jnp.float32), 4)
+
+    def score(Rcw, tcw):
+        p = jnp.einsum("ij,nj->ni", Rcw, cw_flat) + tcw
+        uv = cam_mod.project(cam, p)
+        err = jnp.linalg.norm(uv - uv_flat, axis=-1)
+        err = jnp.where(p[:, 2] > 0.02, err, 1e6)
+        wsum = jnp.maximum(jnp.sum(m_flat), 1.0)
+        return jnp.sum(err * m_flat) / wsum
+
+    errs = jax.vmap(score)(Rc, tc)          # [A]
+    errs = jnp.where(cand_ok, errs, 1e9)
+    best = jnp.argmin(errs)
+    ok = errs[best] < cfg.aruco.well_tracked_reproj_err
+    return ok, Rc[best], tc[best], errs[best]
+
+
+# ---------------------------------------------------------------------------
+# point matching + pose refinement
+# ---------------------------------------------------------------------------
+
+
+def _point_world_arrays(state: MapState, obs_point):
+    safe = jnp.maximum(obs_point, 0)
+    pts = state.pt_xyz[safe]
+    valid = (obs_point >= 0) & state.pt_valid[safe]
+    return pts, valid
+
+
+def _optimize(state, frame, slots, Rcw0, tcw0, obs_point, cam, cfg: SlamConfig):
+    pts, pvalid = _point_world_arrays(state, obs_point)
+    inv_s2 = scale_sigma2(cfg.orb.num_levels, cfg.orb.scale_factor)[
+        frame.kp_octave
+    ]
+    corners_w, uv_mk, m_mask = _marker_obs_arrays(state, frame, slots)
+    res = pose_opt.optimize_pose(
+        Rcw0, tcw0, cam,
+        pts, frame.kp_uv, pvalid & frame.kp_valid, inv_s2,
+        marker_corners_w=corners_w, marker_uv=uv_mk,
+        marker_mask=m_mask,
+        marker_weight=cfg.aruco.edge_weight,
+        chi2_th=cfg.optim.chi2_mono,
+        huber_delta=cfg.optim.huber_delta,
+        rounds=cfg.optim.pose_rounds,
+        iters_per_round=cfg.optim.pose_iters_per_round,
+    )
+    obs_out = jnp.where(res.inliers, obs_point, -1)
+    return res, obs_out
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def track_frame(
+    state: MapState,
+    frame: Frame,
+    slots,                  # [A] bound marker slots
+    Rcw0, tcw0,             # pose seed (motion model or aruco candidate)
+    last_uv, last_desc, last_obs, last_valid, last_octave,
+    cam: Camera,
+    cfg: SlamConfig,
+    search_radius: float,
+) -> TrackResult:
+    """Project last frame's map points with the seed pose and window-match
+    (TrackWithMotionModel / TrackByAruco body)."""
+    pts, pvalid = _point_world_arrays(state, last_obs)
+    pvalid = pvalid & last_valid
+    p_cam = se3_apply(Rcw0[None], tcw0[None], pts)
+    uv_pred = cam_mod.project(cam, p_cam)
+    in_front = p_cam[..., 2] > 0.05
+    in_img = cam_mod.in_image(cam, uv_pred, margin=1.0)
+    m = matching.match_in_window(
+        last_desc, frame.desc, uv_pred, frame.kp_uv,
+        radius=search_radius,
+        mask_a=pvalid & in_front & in_img, mask_b=frame.kp_valid,
+        octave_a=last_octave, octave_b=frame.kp_octave, max_octave_diff=1,
+        max_dist=float(cfg.matcher.th_high),
+        nn_ratio=cfg.matcher.nn_ratio_tracking,
+    )
+    # scatter: current feature idx -> map point slot
+    N = frame.kp_uv.shape[0]
+    obs_point = jnp.full((N,), -1, jnp.int32)
+    tgt = jnp.where(m.valid, m.idx, N)  # invalid -> dumped past the end
+    src_pts = jnp.where(m.valid, last_obs, -1)
+    obs_point = jnp.zeros((N + 1,), jnp.int32).at[:].set(-1).at[tgt].max(src_pts)[:N]
+    n_matches = jnp.sum(m.valid.astype(jnp.int32))
+    res, obs_out = _optimize(state, frame, slots, Rcw0, tcw0, obs_point, cam, cfg)
+    return TrackResult(res.Rcw, res.tcw, obs_out, res.n_inliers, n_matches)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def track_vs_keyframe(
+    state: MapState,
+    frame: Frame,
+    slots,
+    kf: jnp.ndarray,        # keyframe slot to match against
+    Rcw0, tcw0,
+    cam: Camera,
+    cfg: SlamConfig,
+) -> TrackResult:
+    """Descriptor-only matching against one keyframe's map-point features
+    (TrackReferenceKeyFrame; the reference restricts candidates via BoW
+    nodes — here the full distance matrix is one matmul so no restriction is
+    needed, only ratio + rotation gates)."""
+    kf_desc = state.kf_desc[kf]
+    kf_obs = state.kf_obs_point[kf]
+    kf_valid = state.kf_kp_valid[kf] & (kf_obs >= 0)
+    kf_valid = kf_valid & state.pt_valid[jnp.maximum(kf_obs, 0)]
+    d = matching.distance_matrix(kf_desc, frame.desc, kf_valid, frame.kp_valid)
+    m = matching.nn_match(
+        d, max_dist=float(cfg.matcher.th_low),
+        nn_ratio=cfg.matcher.nn_ratio_init, mutual=True,
+    )
+    m = matching.rotation_consistency(
+        state.kf_kp_angle[kf], frame.kp_angle,
+        matching.Matches(idx=m.idx, dist=m.dist, valid=m.valid),
+        cfg.matcher.histo_length,
+    ) if cfg.matcher.check_orientation else m
+    N = frame.kp_uv.shape[0]
+    tgt = jnp.where(m.valid, m.idx, N)
+    src_pts = jnp.where(m.valid, kf_obs, -1)
+    obs_point = jnp.zeros((N + 1,), jnp.int32).at[:].set(-1).at[tgt].max(src_pts)[:N]
+    n_matches = jnp.sum(m.valid.astype(jnp.int32))
+    res, obs_out = _optimize(state, frame, slots, Rcw0, tcw0, obs_point, cam, cfg)
+    return TrackResult(res.Rcw, res.tcw, obs_out, res.n_inliers, n_matches)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "max_candidates"))
+def reloc_candidates(state: MapState, frame: Frame, cfg: SlamConfig,
+                     max_candidates: int = 4):
+    """BoW relocalization candidates (DetectRelocalizationCandidates,
+    reference src/KeyFrameDatabase.cc:199+)."""
+    return retrieval.detect_candidates(
+        frame.bow, state.kf_bow, state.kf_valid,
+        exclude_mask=jnp.zeros_like(state.kf_valid),
+        min_score=0.0, max_candidates=max_candidates,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def reloc_pnp(state: MapState, frame: Frame, slots, kf: jnp.ndarray,
+              cam: Camera, cfg: SlamConfig) -> TrackResult:
+    """Relocalization against one candidate keyframe: descriptor 2D-3D
+    matching + RANSAC PnP + pose LM (reference Relocalization,
+    Tracking.cc:1741-1914: SearchByBoW -> EPnP RANSAC ->
+    PoseOptimizationByAruco >= 50 inliers)."""
+    kf_obs = state.kf_obs_point[kf]
+    kf_valid = (
+        state.kf_kp_valid[kf]
+        & (kf_obs >= 0)
+        & state.pt_valid[jnp.maximum(kf_obs, 0)]
+    )
+    d = matching.distance_matrix(
+        state.kf_desc[kf], frame.desc, kf_valid, frame.kp_valid
+    )
+    m = matching.nn_match(d, max_dist=float(cfg.matcher.th_low),
+                          nn_ratio=0.75, mutual=True)
+    # 2D-3D: current feature m.idx[i] <-> world point kf_obs[i]
+    N = frame.kp_uv.shape[0]
+    tgt = jnp.where(m.valid, m.idx, N)
+    src = jnp.where(m.valid, kf_obs, -1)
+    obs_point = jnp.zeros((N + 1,), jnp.int32).at[:].set(-1).at[tgt].max(src)[:N]
+    pts, pvalid = _point_world_arrays(state, obs_point)
+    res = pnp.ransac_pnp(
+        pts, frame.kp_uv, pvalid & frame.kp_valid, cam,
+        chi2_th=cfg.optim.chi2_mono,
+        min_inliers=cfg.tracking.min_inliers_track,
+    )
+    opt, obs_out = _optimize(
+        state, frame, slots, res.Rcw, res.tcw, obs_point, cam, cfg
+    )
+    n = jnp.where(res.ok, opt.n_inliers, 0)
+    return TrackResult(opt.Rcw, opt.tcw, obs_out, n, res.n_inliers)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def track_local_map(
+    state: MapState,
+    frame: Frame,
+    slots,
+    Rcw0, tcw0,
+    obs_point,              # [N] associations from the first-stage track
+    cam: Camera,
+    cfg: SlamConfig,
+) -> TrackResult:
+    """Search unmatched map points by projection and re-optimize
+    (TrackLocalMap + SearchLocalPoints). v1 projects ALL valid map points —
+    the fixed capacity (L) makes this one batched projection; covisibility-
+    restricted local sets come with scaling work."""
+    L = state.L
+    pts = state.pt_xyz
+    p_cam = se3_apply(Rcw0[None], tcw0[None], pts)
+    uv_pred = cam_mod.project(cam, p_cam)
+    dist = jnp.linalg.norm(p_cam, axis=-1)
+    visible = (
+        state.pt_valid
+        & (p_cam[..., 2] > 0.05)
+        & cam_mod.in_image(cam, uv_pred, margin=1.0)
+        & (dist >= 0.8 * state.pt_min_dist)
+        & (dist <= 1.2 * state.pt_max_dist)
+    )
+    # viewing angle gate: cos(angle(normal, view)) > 0.5 (reference isInFrustum)
+    Rwc, twc = se3_inverse(Rcw0, tcw0)
+    view = pts - twc[None]
+    vn = view / jnp.maximum(jnp.linalg.norm(view, axis=-1, keepdims=True), 1e-9)
+    cosang = jnp.sum(vn * state.pt_normal, axis=-1)
+    has_normal = jnp.linalg.norm(state.pt_normal, axis=-1) > 0.1
+    visible = visible & (~has_normal | (cosang > 0.5))
+    # already-matched points should not be re-assigned
+    already = jnp.zeros((L,), bool).at[jnp.maximum(obs_point, 0)].set(
+        obs_point >= 0
+    )
+    cand = visible & ~already
+    # match candidate points' descriptors to unmatched current features
+    feat_free = frame.kp_valid & (obs_point < 0)
+    m = matching.match_in_window(
+        state.pt_desc, frame.desc, uv_pred, frame.kp_uv,
+        radius=cfg.matcher.search_radius_map
+        * (cfg.orb.scale_factor ** jnp.zeros((L,))),  # base radius; octave-free
+        mask_a=cand, mask_b=feat_free,
+        max_dist=float(cfg.matcher.th_high),
+        nn_ratio=cfg.matcher.nn_ratio_tracking,
+    )
+    N = frame.kp_uv.shape[0]
+    tgt = jnp.where(m.valid, m.idx, N)
+    src = jnp.where(m.valid, jnp.arange(L, dtype=jnp.int32), -1)
+    new_obs = jnp.zeros((N + 1,), jnp.int32).at[:].set(-1).at[tgt].max(src)[:N]
+    obs_point = jnp.where(obs_point >= 0, obs_point, new_obs)
+    n_matches = jnp.sum((obs_point >= 0).astype(jnp.int32))
+    res, obs_out = _optimize(state, frame, slots, Rcw0, tcw0, obs_point, cam, cfg)
+    # visibility bookkeeping (found/visible ratios, MapPoint.cc:359 analogue)
+    found_sel = jnp.zeros((L,), bool).at[jnp.maximum(obs_out, 0)].set(obs_out >= 0)
+    new_visible = state.pt_visible + visible.astype(jnp.float32)
+    new_found = state.pt_found + found_sel.astype(jnp.float32)
+    return TrackResult(res.Rcw, res.tcw, obs_out, res.n_inliers, n_matches), (
+        new_visible,
+        new_found,
+    )

@@ -266,3 +266,21 @@ def test_pose_graph_closes_loop(rng):
     np.testing.assert_allclose(np.asarray(out.s), np.asarray(s_true), rtol=1e-3)
     np.testing.assert_allclose(np.asarray(out.R), np.asarray(R_true), atol=5e-3)
     np.testing.assert_allclose(np.asarray(out.t), np.asarray(t_true), atol=2e-2)
+
+
+def test_ransac_pnp_with_outliers(rng):
+    from orb_slam2_aruco_tpu.optim import pnp
+
+    xyz = make_scene(rng, 120)
+    R_true = lie.so3_exp(jnp.asarray([0.2, -0.1, 0.15]))
+    t_true = jnp.asarray([0.4, -0.3, 0.6])
+    uv = project_points(R_true, t_true, xyz)
+    uv = uv.at[:30].add(
+        jnp.asarray(rng.uniform(25, 60, size=(30, 2)), dtype=jnp.float32)
+    )
+    res = pnp.ransac_pnp(xyz, uv, jnp.ones(120), CAM)
+    assert bool(res.ok)
+    inl = np.asarray(res.inliers)
+    assert inl[:30].sum() <= 2 and inl[30:].sum() >= 85
+    np.testing.assert_allclose(np.asarray(res.Rcw), np.asarray(R_true), atol=5e-3)
+    np.testing.assert_allclose(np.asarray(res.tcw), np.asarray(t_true), atol=5e-2)

@@ -1,0 +1,101 @@
+"""End-to-end integration: synthetic marker sequence -> full pipeline -> ATE
+(SURVEY.md §4: 'synthetic marker-grid video generator -> full pipeline ->
+ATE ~ 0')."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from orb_slam2_aruco_tpu.config import CameraConfig, SlamConfig
+from orb_slam2_aruco_tpu.io import synthetic, trajectory
+from orb_slam2_aruco_tpu.pipeline.system import SlamSystem, TrackingState
+
+
+def small_config():
+    camc = CameraConfig(
+        fx=300.0, fy=300.0, cx=160.0, cy=120.0, dist=(0, 0, 0, 0, 0),
+        width=320, height=240,
+    )
+    cfg = SlamConfig()
+    cfg = cfg.replace(camera=camc)
+    cfg = cfg.replace(orb=cfg.orb.__class__(num_features=400))
+    cfg = cfg.replace(
+        map=cfg.map.__class__(max_keyframes=32, max_points=4096, max_markers=16)
+    )
+    return cfg
+
+
+@pytest.fixture(scope="module")
+def sequence():
+    world = synthetic.build_world(
+        [3, 17, 42, 99, 7, 23], px_per_m=700.0, spacing=0.45, grid_cols=3
+    )
+    n = 20
+    poses = []
+    for i in range(n):
+        # slow lateral sweep with small rotation
+        x = 0.35 + 0.45 * i / n
+        yaw = 0.12 * np.sin(2 * np.pi * i / n)
+        poses.append(
+            synthetic.look_at_plane_pose((x, 0.22), 1.3, yaw=yaw, pitch=0.05)
+        )
+    cfg = small_config()
+    imgs = [
+        synthetic.render_view(world, cfg.camera, R, t) for R, t in poses
+    ]
+    return world, poses, imgs, cfg
+
+
+def test_full_pipeline_tracks_sequence(sequence):
+    world, poses, imgs, cfg = sequence
+    slam = SlamSystem(cfg)
+    est = []
+    for i, img in enumerate(imgs):
+        pose = slam.track_monocular(img, ts=i / 30.0)
+        est.append(pose)
+    # must initialize within the first few frames and stay OK
+    assert slam.state is TrackingState.OK
+    n_tracked = sum(p is not None for p in est)
+    assert n_tracked >= len(imgs) - 3, n_tracked
+    assert slam.n_keyframes >= 2
+    assert int(slam.map.num_points()) > 100
+    assert int(slam.map.num_markers()) >= 4
+
+    # ATE vs ground truth over tracked frames (marker init is metric: compare
+    # WITHOUT scale alignment)
+    est_R = [p[0] for p in est if p is not None]
+    est_t = [p[1] for p in est if p is not None]
+    gt = [poses[i] for i, p in enumerate(est) if p is not None]
+    # the SLAM world frame is anchored at the init reference frame, not the
+    # synthetic world: align with SE3 (no scale) first
+    est_c = trajectory.camera_centers(est_R, est_t)
+    gt_c = trajectory.camera_centers([g[0] for g in gt], [g[1] for g in gt])
+    ate_se3 = trajectory.ate_rmse(est_c, gt_c, align=True, with_scale=False)
+    assert ate_se3 < 0.03, ate_se3  # < 3 cm on a ~1.3 m standoff sweep
+    # metric scale check: Sim3-aligned ATE should NOT be much better than
+    # SE3-aligned (scale ratio close to 1)
+    ate_sim3 = trajectory.ate_rmse(est_c, gt_c, align=True, with_scale=True)
+    assert ate_sim3 < 0.03
+
+
+def test_relocalization_after_blackout(sequence):
+    world, poses, imgs, cfg = sequence
+    slam = SlamSystem(cfg)
+    for i, img in enumerate(imgs[:10]):
+        slam.track_monocular(img, ts=i / 30.0)
+    assert slam.state is TrackingState.OK
+    # feed black frames -> tracking lost
+    black = np.zeros_like(imgs[0])
+    for j in range(3):
+        slam.track_monocular(black, ts=(10 + j) / 30.0)
+    assert slam.state is TrackingState.LOST
+    # resume with a real frame -> marker relocalization recovers
+    out = slam.track_monocular(imgs[10], ts=13 / 30.0)
+    assert slam.state is TrackingState.OK and out is not None
+    # pose correct after reloc
+    Rgt, tgt_ = poses[10]
+    c_est = -out[0].T @ out[1]
+    # estimated world frame = init-frame camera => compare via relative error
+    # to a neighboring tracked frame instead: just check finite + reloc stat
+    assert np.all(np.isfinite(c_est))
+    assert slam.stats["reloc"] == 1
