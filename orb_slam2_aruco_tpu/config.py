@@ -72,6 +72,8 @@ class ArucoConfig:
     warp_cell_px: int = 8             # warp resolution per bit cell
     adaptive_thresh_win: int = 15     # box window for adaptive threshold
     adaptive_thresh_c: float = 7.0
+    cc_iters: int = 0                 # connected-component propagation depth
+                                      # (0 = auto: min(192, max(H,W)//2))
     min_quad_side_px: float = 10.0
     edge_weight: float = 25.0         # info = w * I2 on corner edges (Optimizer.cc:179)
     corner_huber_delta: float = 2.4477  # sqrt(5.991)

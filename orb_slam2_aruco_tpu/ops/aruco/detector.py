@@ -83,7 +83,7 @@ def _segment_argmax(value, labels, num_segments, flat_idx):
 
 
 def quad_candidates(binary, max_quads: int, min_area: float = 64.0,
-                    max_area_frac: float = 0.25):
+                    max_area_frac: float = 0.25, cc_iters: int = 0):
     """Extract up to max_quads quadrilateral blob candidates.
 
     Returns (quads [K, 4, 2] in (x, y) float pixels, area [K], valid [K]).
@@ -91,9 +91,12 @@ def quad_candidates(binary, max_quads: int, min_area: float = 64.0,
     """
     h, w = binary.shape
     n_seg = h * w + 1
-    # enough iterations for blobs up to ~2*(h+w) perimeter is overkill; a blob
-    # of diameter D needs ~D iterations. Use max(h, w) // 2 as a safe default.
-    labels2d = connected_components(binary, iters=max(h, w) // 2)
+    # a blob of diameter D is fully labeled after ~D iterations; markers are
+    # bounded in screen size, so cap the propagation depth (the dominant
+    # per-frame cost at high resolution)
+    if cc_iters <= 0:
+        cc_iters = min(192, max(h, w) // 2)
+    labels2d = connected_components(binary, iters=cc_iters)
     labels = labels2d.reshape(-1)
     flat_idx = jnp.arange(h * w, dtype=jnp.int32)
     xs = (flat_idx % w).astype(jnp.float32)
@@ -244,13 +247,25 @@ def detect_markers(
     adaptive_c: float = 7.0,
     min_area: float = 100.0,
     cell_px: int = 8,
+    cc_iters: int = 0,
 ) -> DetectedMarkers:
     """Full detection pipeline on a grayscale image [H, W] float32 (0..255).
 
     Cite: reference Frame.cc:142 calls MarkerDetector::detect per frame; this
     is the jittable equivalent with static output capacity."""
     binary = adaptive_threshold(img, adaptive_win, adaptive_c)
-    quads, _, qvalid = quad_candidates(binary, max_quads, min_area=min_area)
+    quads, _, qvalid = quad_candidates(binary, max_quads, min_area=min_area,
+                                       cc_iters=cc_iters)
+    # reject border-touching quads: a partially visible marker can decode to
+    # a DIFFERENT valid code (the reference detector likewise drops contours
+    # touching the image border)
+    h, w = img.shape
+    margin = 3.0
+    inside = (
+        (quads[..., 0] >= margin) & (quads[..., 0] <= w - 1 - margin)
+        & (quads[..., 1] >= margin) & (quads[..., 1] <= h - 1 - margin)
+    ).all(axis=-1)
+    qvalid = qvalid & inside
     det = decode_quads(img, quads, qvalid, dict_name, cell_px=cell_px)
     # deduplicate: if two candidate blobs decode to the same id (border blob
     # and interior blob can both form quads), keep the first occurrence

@@ -108,6 +108,7 @@ def make_frame(img, cam: Camera, cfg: SlamConfig) -> Frame:
         adaptive_c=acfg.adaptive_thresh_c,
         min_area=acfg.min_quad_side_px**2,
         cell_px=acfg.warp_cell_px,
+        cc_iters=acfg.cc_iters,
     )
     # compact the top-A valid detections
     A = acfg.max_markers_per_frame

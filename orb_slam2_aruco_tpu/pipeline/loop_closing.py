@@ -325,3 +325,102 @@ def correct_loop(
         big_change_idx=state.big_change_idx + 1,
     )
     return state, out.chi2
+
+
+@functools.partial(jax.jit, static_argnames=("min_gap",))
+def detect_loop_by_bow(state: MapState, kf_cur, min_gap: int = 10):
+    """Appearance-based loop candidates (DetectLoop, reference
+    src/LoopClosing.cc:191-360): best-scoring old keyframe by retrieval
+    signature, excluding the covisible neighborhood; the acceptance score
+    floor is the minimum score against current covisibles (minScore)."""
+    from orb_slam2_aruco_tpu.worldmap import retrieval
+
+    K = state.K
+    W = covisibility_matrix(state)
+    covis = (W[kf_cur] >= 15) & state.kf_valid
+    covis = covis.at[kf_cur].set(True)
+    # minScore: lowest similarity among covisible keyframes
+    scores_covis = jnp.dot(state.kf_bow, state.kf_bow[kf_cur])
+    min_score = jnp.min(
+        jnp.where(covis & (jnp.arange(K) != kf_cur), scores_covis, 1.0)
+    )
+    # rank gap (insertion order)
+    order_rank = jnp.sum(
+        (state.kf_frame_id[:, None] > state.kf_frame_id[None, :])
+        & state.kf_valid[None, :],
+        axis=1,
+    )
+    too_young = (order_rank[kf_cur] - order_rank) < min_gap
+    exclude = covis | ~state.kf_valid | too_young
+    idx, vals, keep = retrieval.detect_candidates(
+        state.kf_bow[kf_cur], state.kf_bow, state.kf_valid,
+        exclude_mask=exclude, min_score=min_score, max_candidates=4,
+    )
+    found = keep[0]
+    return LoopDetection(
+        found=found,
+        kf_loop=jnp.where(found, idx[0], -1).astype(jnp.int32),
+        marker_slot=jnp.asarray(-1, jnp.int32),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "num_hypotheses"))
+def compute_sim3_classic(state: MapState, kf_cur, kf_loop,
+                         cam: Camera, cfg: SlamConfig,
+                         num_hypotheses: int = 128) -> Sim3Candidate:
+    """Classic Sim3 path (ComputeSim3, reference src/LoopClosing.cc:485-654):
+    Horn closed-form on RANSAC triples of matched 3D-3D pairs — every
+    hypothesis evaluated in one batch — then sim3_opt refinement."""
+    from orb_slam2_aruco_tpu.geometry.horn import horn_sim3
+
+    cur_obs = state.kf_obs_point[kf_cur]
+    loop_obs = state.kf_obs_point[kf_loop]
+    mask_cur = state.kf_kp_valid[kf_cur] & (cur_obs >= 0)
+    mask_loop = state.kf_kp_valid[kf_loop] & (loop_obs >= 0)
+    d = matching.distance_matrix(
+        state.kf_desc[kf_cur], state.kf_desc[kf_loop], mask_cur, mask_loop
+    )
+    m = matching.nn_match(d, max_dist=float(cfg.matcher.th_low), nn_ratio=0.9,
+                          mutual=True)
+    X1 = state.pt_xyz[jnp.maximum(cur_obs, 0)]
+    p1 = se3_apply(state.kf_Rcw[kf_cur][None], state.kf_tcw[kf_cur][None], X1)
+    j = jnp.maximum(m.idx, 0)
+    X2 = state.pt_xyz[jnp.maximum(loop_obs[j], 0)]
+    p2 = se3_apply(state.kf_Rcw[kf_loop][None], state.kf_tcw[kf_loop][None], X2)
+    valid = m.valid & mask_cur & state.pt_valid[jnp.maximum(cur_obs, 0)] & \
+        state.pt_valid[jnp.maximum(loop_obs[j], 0)]
+
+    N = p1.shape[0]
+    key = jax.random.PRNGKey(1)
+    w = valid.astype(jnp.float32)
+    prob = w / jnp.maximum(jnp.sum(w), 1.0)
+    sets = jax.random.choice(key, N, shape=(num_hypotheses, 3), replace=True,
+                             p=prob)
+    s_h, R_h, t_h = horn_sim3(
+        p2[sets], p1[sets], fix_scale=cfg.loop.fix_scale
+    )  # maps loop-frame points into cur frame
+    # score by image-space transfer into the current keyframe
+    q1 = s_h[:, None, None] * jnp.einsum("hij,nj->hni", R_h, p2) + t_h[:, None]
+    uv_pred = cam_mod.project(cam, q1)
+    uv1 = state.kf_kp_uv[kf_cur]
+    err = jnp.sum((uv_pred - uv1[None]) ** 2, axis=-1)
+    ok_pt = (err < 9.21) & (q1[..., 2] > 0.02) & valid[None]
+    scores = jnp.sum(ok_pt.astype(jnp.int32), axis=1)
+    b = jnp.argmax(scores)
+
+    sig2 = scale_sigma2(cfg.orb.num_levels, cfg.orb.scale_factor)
+    inv1 = sig2[state.kf_kp_octave[kf_cur]]
+    inv2 = sig2[state.kf_kp_octave[kf_loop][j]]
+    res = sim3_opt.optimize_sim3(
+        s_h[b], R_h[b], t_h[b], p1, p2, uv1,
+        state.kf_kp_uv[kf_loop][j], valid, inv1, inv2, cam,
+        fix_scale=cfg.loop.fix_scale,
+        iters_first=cfg.optim.sim3_iters,
+        iters_second=2 * cfg.optim.sim3_iters,
+    )
+    ok = (
+        (scores[b] >= cfg.loop.sim3_min_inliers_classic)
+        & (res.n_inliers >= cfg.loop.sim3_min_inliers_classic)
+    )
+    return Sim3Candidate(ok=ok, s=res.s, R=res.R, t=res.t,
+                         n_inliers=res.n_inliers)

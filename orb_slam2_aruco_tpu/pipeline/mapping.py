@@ -467,3 +467,238 @@ def cull_keyframes(state: MapState, keep_kf, cfg: SlamConfig):
         any_c, state.kf_valid.at[victim].set(False), state.kf_valid
     )
     return state._replace(kf_valid=kf_valid), jnp.where(any_c, victim, -1)
+
+
+# ---------------------------------------------------------------------------
+# marker plane fitting, quality promotion, one-shot scale correction
+# ---------------------------------------------------------------------------
+
+
+def _point_in_quad(uv, quad):
+    """Convex-quad inside test by cross-product signs. uv [..., 2],
+    quad [..., 4, 2] (consistent winding) -> bool [...]."""
+    def cross(o, a, b):
+        return (a[..., 0] - o[..., 0]) * (b[..., 1] - o[..., 1]) - (
+            a[..., 1] - o[..., 1]
+        ) * (b[..., 0] - o[..., 0])
+
+    signs = []
+    for c in range(4):
+        p0 = quad[..., c, :]
+        p1 = quad[..., (c + 1) % 4, :]
+        signs.append(cross(p0, p1, uv))
+    s = jnp.stack(signs, axis=-1)
+    return jnp.all(s >= 0, axis=-1) | jnp.all(s <= 0, axis=-1)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def aruco_plane_update(state: MapState, kf, cam: Camera, cfg: SlamConfig):
+    """Plane-fit-based marker measurement + metric scale correction
+    (CreateArucoMapPoints, reference src/LocalMapping.cc:487-797):
+
+      * for each marker observed by keyframe `kf` with enough in-quad map
+        points: fit a plane (trimmed least squares instead of the reference's
+        RANSAC — same SVD normal), intersect the corner viewing rays with it,
+        measure the marker side length, accumulate mk_mean_len;
+      * promote `isWellComputed` when the marker normal agrees with the plane
+        (<15 deg or >165 deg), count nBadComputed in (40, 140) deg and mark
+        the marker bad after 3 strikes (LocalMapping.cc:620-644);
+      * one-shot global scale correction for keypoint-initialized maps: when
+        >= `scale_corr_min_markers` markers agree on the measured length
+        within `scale_corr_max_len_diff`, rescale every point, keyframe
+        translation, and marker position by s = true_size / mean_len
+        (LocalMapping.cc:654-704)."""
+    A = state.kf_mk_slot.shape[1]
+    N = state.kf_obs_point.shape[1]
+    Rcw = state.kf_Rcw[kf]
+    tcw = state.kf_tcw[kf]
+    Rwc, twc = se3_inverse(Rcw, tcw)
+
+    obs = state.kf_obs_point[kf]
+    has_pt = (obs >= 0) & state.kf_kp_valid[kf] & state.pt_valid[
+        jnp.maximum(obs, 0)
+    ]
+    X = state.pt_xyz[jnp.maximum(obs, 0)]            # [N, 3]
+    uv = state.kf_kp_uv[kf]
+
+    quads = state.kf_mk_uv[kf]                       # [A, 4, 2]
+    mk_slots = state.kf_mk_slot[kf]
+    mk_obs_ok = state.kf_mk_valid[kf] & (mk_slots >= 0)
+
+    inside = jax.vmap(
+        lambda q: _point_in_quad(uv, jnp.broadcast_to(q, (N, 4, 2)))
+    )(quads)                                         # [A, N]
+    w0 = inside & has_pt[None, :]                    # [A, N]
+
+    def fit_plane(w):
+        wf = w.astype(jnp.float32)
+        cnt = jnp.maximum(jnp.sum(wf), 1.0)
+        mu = jnp.sum(X * wf[:, None], axis=0) / cnt
+        d = (X - mu) * wf[:, None]
+        C = d.T @ d
+        evals, evecs = jnp.linalg.eigh(C)
+        n = evecs[:, 0]
+        return mu, n
+
+    def fit_trimmed(w):
+        mu, n = fit_plane(w)
+        # drop the worst 30% by plane distance, refit
+        dist = jnp.abs((X - mu) @ n)
+        dist = jnp.where(w, dist, jnp.inf)
+        cnt = jnp.sum(w.astype(jnp.int32))
+        kth = jnp.quantile(jnp.where(w, dist, jnp.nan), 0.7)
+        w2 = w & (dist <= jnp.where(jnp.isnan(kth), jnp.inf, kth))
+        return fit_plane(w2)
+
+    mu, nrm = jax.vmap(fit_trimmed)(w0)              # [A, 3], [A, 3]
+    n_in = jnp.sum(w0, axis=1)
+    enough = n_in >= cfg.aruco.plane_fit_min_points
+
+    # corner rays: world direction through each observed corner pixel
+    xn = cam_mod.pixels_to_normalized(cam, quads)    # [A, 4, 2]
+    d_cam = jnp.concatenate([xn, jnp.ones_like(xn[..., :1])], axis=-1)
+    d_w = jnp.einsum("ij,acj->aci", Rwc, d_cam)      # [A, 4, 3]
+    denom = jnp.einsum("aci,ai->ac", d_w, nrm)
+    denom = jnp.where(jnp.abs(denom) < 1e-9, 1e-9, denom)
+    lam = jnp.einsum("ai,ai->a", mu - twc[None, :], nrm)[:, None] / denom
+    corners3d = twc[None, None, :] + lam[..., None] * d_w  # [A, 4, 3]
+    sides = jnp.linalg.norm(
+        corners3d - jnp.roll(corners3d, -1, axis=1), axis=-1
+    )                                                # [A, 4]
+    mean_len = jnp.mean(sides, axis=1)
+    len_ok = enough & mk_obs_ok & (lam > 0.05).all(axis=1) & jnp.isfinite(
+        mean_len
+    )
+
+    # accumulate per-marker measured length
+    slots_safe = jnp.clip(mk_slots, 0, state.M - 1)
+    tgtm = jnp.where(len_ok, slots_safe, state.M)
+    mk_mean_len = jnp.concatenate([state.mk_mean_len, jnp.zeros((1,))]).at[
+        tgtm
+    ].add(mean_len)[: state.M]
+    mk_len_cnt = jnp.concatenate([state.mk_len_cnt, jnp.zeros((1,))]).at[
+        tgtm
+    ].add(1.0)[: state.M]
+
+    # normal agreement: marker z axis vs plane normal
+    z_w = state.mk_Rwm[slots_safe][:, :, 2]          # [A, 3]
+    cosang = jnp.abs(jnp.sum(z_w * nrm, axis=1)) / jnp.maximum(
+        jnp.linalg.norm(nrm, axis=1), 1e-9
+    )
+    ang = jnp.degrees(jnp.arccos(jnp.clip(cosang, 0.0, 1.0)))  # 0..90
+    well = len_ok & (ang < cfg.aruco.plane_angle_good_deg)
+    bad = len_ok & (ang > cfg.aruco.plane_angle_bad_lo_deg)
+    mk_well = jnp.concatenate([state.mk_well, jnp.zeros((1,), bool)]).at[
+        jnp.where(well, slots_safe, state.M)
+    ].set(True)[: state.M]
+    mk_nbad = jnp.concatenate([state.mk_nbad, jnp.zeros((1,), jnp.int32)]).at[
+        jnp.where(bad, slots_safe, state.M)
+    ].add(1)[: state.M]
+    strike_out = mk_nbad >= cfg.aruco.max_bad_computed
+    mk_valid = state.mk_valid & ~strike_out
+
+    # ---- one-shot scale correction (keypoint-init only) ------------------
+    have = mk_valid & (mk_len_cnt > 0)
+    est_len = mk_mean_len / jnp.maximum(mk_len_cnt, 1.0)
+    est_len_v = jnp.where(have, est_len, jnp.nan)
+    lmin = jnp.nanmin(est_len_v)
+    lmax = jnp.nanmax(est_len_v)
+    n_have = jnp.sum(have.astype(jnp.int32))
+    consistent = (
+        (~state.scale_done)
+        & (n_have >= cfg.aruco.scale_corr_min_markers)
+        & ((lmax - lmin) < cfg.aruco.scale_corr_max_len_diff)
+    )
+    mean_all = jnp.nansum(est_len_v) / jnp.maximum(n_have, 1)
+    s = jnp.where(
+        consistent, cfg.aruco.marker_size / jnp.maximum(mean_all, 1e-6), 1.0
+    )
+    state = state._replace(
+        pt_xyz=state.pt_xyz * s,
+        kf_tcw=state.kf_tcw * s,
+        mk_twm=state.mk_twm * s,
+        pt_min_dist=state.pt_min_dist * s,
+        pt_max_dist=state.pt_max_dist * s,
+        mk_mean_len=mk_mean_len * jnp.where(consistent, s, 1.0),
+        mk_len_cnt=mk_len_cnt,
+        mk_well=mk_well,
+        mk_nbad=mk_nbad,
+        mk_valid=mk_valid,
+        scale_done=state.scale_done | consistent,
+    )
+    return state, s
+
+
+# ---------------------------------------------------------------------------
+# duplicate map-point fusion
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def fuse_duplicates(state: MapState, kf, cam: Camera, cfg: SlamConfig):
+    """Merge duplicated map points (SearchInNeighbors/Fuse, reference
+    src/LocalMapping.cc:822-902, ORBmatcher::Fuse src/ORBmatcher.cc:829):
+    a point observed by the current keyframe that lies within the scale-
+    appropriate radius of an OLDER point with a matching descriptor is merged
+    into it (the older slot wins, like MapPoint::Replace keeping the more-
+    observed point, reference src/MapPoint.cc:206)."""
+    L = state.L
+    obs = state.kf_obs_point[kf]                   # [N] my point slots
+    N = obs.shape[0]
+    my_slot = jnp.clip(obs, 0, L - 1)
+    my_ok = (obs >= 0) & state.pt_valid[my_slot] & state.kf_kp_valid[kf]
+    # candidates: my (<=N) points vs ALL valid points — [N, L] stays bounded
+    # by the per-frame feature budget, not by map capacity
+    d2 = jnp.sum(
+        (state.pt_xyz[my_slot][:, None, :] - state.pt_xyz[None, :, :]) ** 2,
+        axis=-1,
+    )
+    from orb_slam2_aruco_tpu.ops.orb import unpack_pm1
+
+    A = unpack_pm1(state.pt_desc[my_slot])
+    B = unpack_pm1(state.pt_desc)
+    sim = jnp.dot(A, B.T, preferred_element_type=jnp.float32)
+    hamm = (256.0 - sim) * 0.5
+    radius = 0.05 * jnp.maximum(state.pt_max_dist[my_slot][:, None], 0.2)
+    cand = (
+        my_ok[:, None]
+        & state.pt_valid[None, :]
+        & (d2 < radius * radius)
+        & (hamm < cfg.matcher.th_low)
+    )
+    # only merge INTO a strictly older (lower first_kf, then lower slot) point
+    first_mine = state.pt_first_kf[my_slot]
+    older = (state.pt_first_kf[None, :] < first_mine[:, None]) | (
+        (state.pt_first_kf[None, :] == first_mine[:, None])
+        & (jnp.arange(L)[None, :] < my_slot[:, None])
+    )
+    cand = cand & older
+    row_has = jnp.any(cand, axis=1)                # [N]
+    row_tgt = jnp.argmax(cand, axis=1)             # [N]
+    # scatter back to [L]: min target per source slot
+    has_tgt = jnp.zeros((L,), bool).at[my_slot].max(row_has)
+    tgt_l = jnp.full((L,), L, jnp.int32).at[my_slot].min(
+        jnp.where(row_has, row_tgt, L)
+    )
+    tgt = jnp.where(has_tgt, jnp.clip(tgt_l, 0, L - 1), jnp.arange(L))
+    merged_to = tgt
+    # one-step union only (chains resolve over subsequent keyframes)
+    pt_valid = state.pt_valid & ~has_tgt
+    # remap every observation table entry
+    obs_all = state.kf_obs_point
+    obs_safe = jnp.clip(obs_all, 0, L - 1)
+    remapped = jnp.where(obs_all >= 0, merged_to[obs_safe], obs_all)
+    # merge found/visible counters into the target
+    add_found = jnp.zeros((L,)).at[tgt].add(
+        jnp.where(has_tgt, state.pt_found, 0.0)
+    )
+    add_vis = jnp.zeros((L,)).at[tgt].add(
+        jnp.where(has_tgt, state.pt_visible, 0.0)
+    )
+    state = state._replace(
+        pt_valid=pt_valid,
+        kf_obs_point=remapped,
+        pt_found=state.pt_found + add_found,
+        pt_visible=state.pt_visible + add_vis,
+    )
+    return state, jnp.sum(has_tgt.astype(jnp.int32))

@@ -103,25 +103,39 @@ class SlamSystem:
         n_good_mk = int(jnp.sum(frame.mk_good))
         n_kp = int(jnp.sum(frame.kp_valid))
         if self.init_frame is None:
-            if n_good_mk > 0 and n_kp >= cfg.tracking.min_init_features:
+            if n_kp >= cfg.tracking.min_init_features:
                 self.init_frame = frame
                 self.init_frame_id = fid
                 self.init_ts = ts
+                self.init_has_marker = n_good_mk > 0
                 self.state = TrackingState.NOT_INITIALIZED
             return None
+        metric = True
         cand = initializer.marker_relative_pose(
             self.init_frame, frame, self.cam, cfg
         )
         if not bool(cand.ok):
-            # keep the reference frame while the only blocker is a small
-            # baseline (the camera just hasn't moved enough yet); replace it
-            # when there is no consistent common marker
             bad_geometry = float(cand.err) >= cfg.tracking.init_marker_reproj_err
-            if bad_geometry and n_good_mk > 0:
-                self.init_frame = frame
-                self.init_frame_id = fid
-                self.init_ts = ts
-            return None
+            no_common_marker = float(cand.err) >= 1e8
+            if no_common_marker and fid - self.init_frame_id >= 2:
+                # markerless fallback: classic H/F bootstrap (unit scale; a
+                # later aruco_plane_update supplies metric scale)
+                cand = initializer.classic_relative_pose(
+                    self.init_frame, frame, self.cam, cfg
+                )
+                metric = False
+            if not bool(cand.ok):
+                # keep the reference while the only blocker is a small
+                # baseline; replace it when geometry is inconsistent
+                if bad_geometry and not no_common_marker and n_good_mk > 0:
+                    self.init_frame = frame
+                    self.init_frame_id = fid
+                    self.init_ts = ts
+                elif fid - self.init_frame_id > 20:
+                    self.init_frame = frame
+                    self.init_frame_id = fid
+                    self.init_ts = ts
+                return None
         # --- create initial map ---------------------------------------
         eye = jnp.eye(3, dtype=jnp.float32)
         zero = jnp.zeros(3, dtype=jnp.float32)
@@ -144,8 +158,9 @@ class SlamSystem:
             self.map, kf2, self.cam, cfg, max_cams=4, max_pts=1024,
             iters=cfg.optim.global_ba_iters, window_all=True,
         )
-        # marker init is metric (IPPE with true side length)
-        self.map = self.map._replace(scale_done=jnp.asarray(True))
+        # marker init is metric (IPPE with true side length); classic init
+        # leaves scale_done False so aruco_plane_update can rescale later
+        self.map = self.map._replace(scale_done=jnp.asarray(metric))
         self.n_keyframes = 2
         self.stats["kf_inserted"] += 2
         self.stats["pts_created"] += int(n_new)
@@ -164,48 +179,31 @@ class SlamSystem:
     # ------------------------------------------------------------------
     def _track(self, frame: Frame, fid: int, ts: float):
         cfg = self.cfg
-        slots = tracking.bind_markers(self.map, frame)
-
-        # pose seed: marker candidate, else motion model, else last pose
-        ok_a, R_a, t_a, err_a = tracking.aruco_pose_candidate(
-            self.map, frame, slots, self.cam, cfg
-        )
-        use_aruco = bool(ok_a)
-        if use_aruco:
-            R0, t0 = R_a, t_a
-            self.stats["aruco_seeded"] += 1
-        elif self.vel is not None:
-            R0, t0 = se3_compose(
+        # motion-model prediction on-device (host never touches the pose)
+        if self.vel is not None:
+            R_pred, t_pred = se3_compose(
                 self.vel[0], self.vel[1], self.last_pose[0], self.last_pose[1]
             )
         else:
-            R0, t0 = self.last_pose
+            R_pred, t_pred = self.last_pose
 
-        tr = tracking.track_frame(
-            self.map, frame, slots, R0, t0,
+        out = tracking.track_full(
+            self.map, frame, R_pred, t_pred,
+            self.last_pose[0], self.last_pose[1],
             self.last_frame.kp_uv, self.last_frame.desc, self.last_obs,
             self.last_frame.kp_valid, self.last_frame.kp_octave,
-            self.cam, cfg, search_radius=cfg.matcher.search_radius_motion,
+            jnp.asarray(self.ref_kf), self.cam, cfg,
         )
-        if int(tr.n_inliers) < cfg.tracking.min_inliers_track:
-            tr = tracking.track_vs_keyframe(
-                self.map, frame, slots, jnp.asarray(self.ref_kf), R0, t0,
-                self.cam, cfg,
-            )
-        if int(tr.n_inliers) < cfg.tracking.min_inliers_track and not use_aruco:
-            self.state = TrackingState.LOST
-            return None
-
-        # local map refinement
-        (tr2, (vis, found)) = tracking.track_local_map(
-            self.map, frame, slots, tr.Rcw, tr.tcw, tr.obs_point, self.cam, cfg
-        )
-        self.map = self.map._replace(pt_visible=vis, pt_found=found)
-        n_map_inliers = int(tr2.n_inliers)
+        n_map_inliers = int(out.n_inliers)
+        if bool(out.used_aruco):
+            self.stats["aruco_seeded"] += 1
         if n_map_inliers < cfg.tracking.min_inliers_track:
             self.state = TrackingState.LOST
             return None
-        Rcw, tcw = tr2.Rcw, tr2.tcw
+        self.map = self.map._replace(
+            pt_visible=out.pt_visible, pt_found=out.pt_found
+        )
+        Rcw, tcw = out.Rcw, out.tcw
 
         # velocity: T_cur * T_last^-1
         Rl_inv, tl_inv = se3_inverse(*self.last_pose)
@@ -213,16 +211,16 @@ class SlamSystem:
 
         # keyframe decision (NeedNewKeyFrame, Tracking.cc:1296-1392)
         if not self.localization_only:
-            new_good = bool(jnp.any(frame.mk_good & frame.mk_valid & (slots < 0)))
+            new_good = bool(out.any_new_marker)
             since_kf = fid - self.last_kf_frame_id
             weak = n_map_inliers < 50 and since_kf >= 3
             timeout = since_kf >= cfg.tracking.max_frames_between_kf
             if new_good or weak or timeout:
-                self._insert_keyframe(frame, Rcw, tcw, tr2.obs_point, slots,
-                                      fid, ts)
+                self._insert_keyframe(frame, Rcw, tcw, out.obs_point,
+                                      out.slots, fid, ts)
 
         self.last_frame = frame
-        self.last_obs = tr2.obs_point
+        self.last_obs = out.obs_point
         self.last_pose = (Rcw, tcw)
         return np.asarray(Rcw), np.asarray(tcw)
 
@@ -250,6 +248,21 @@ class SlamSystem:
             self.map, jnp.asarray(self.n_keyframes, jnp.int32),
             cfg.map.cull_found_ratio,
         )
+        # merge duplicated points (SearchInNeighbors/Fuse)
+        self.map, n_fused = mapping.fuse_duplicates(
+            self.map, jnp.asarray(int(k)), self.cam, cfg
+        )
+        # marker plane measurement + possible one-shot scale correction
+        self.map, s_corr = mapping.aruco_plane_update(
+            self.map, jnp.asarray(int(k)), self.cam, cfg
+        )
+        if abs(float(s_corr) - 1.0) > 1e-6:
+            # rescale the tracking context too
+            self.last_pose = (self.last_pose[0], self.last_pose[1] * float(s_corr))
+            self.vel = None
+            self.stats["scale_corrections"] = (
+                self.stats.get("scale_corrections", 0) + 1
+            )
         if self.n_keyframes > 2:
             self.map, chi2 = mapping.bundle_adjust(
                 self.map, jnp.asarray(int(k)), self.cam, cfg,
@@ -257,6 +270,18 @@ class SlamSystem:
                 iters=cfg.optim.local_ba_iters_second,
             )
             self.stats["ba_runs"] += 1
+            # keyframe culling (90% redundancy rule, marker protection)
+            self.map, victim = mapping.cull_keyframes(
+                self.map, jnp.asarray(int(k)), cfg
+            )
+            v = int(victim)
+            if v >= 0:
+                self.n_keyframes -= 1
+                self.stats["kf_culled"] = self.stats.get("kf_culled", 0) + 1
+                if v == self.prev_kf_slot:
+                    self.prev_kf_slot = int(k)
+                if v == self.ref_kf:
+                    self.ref_kf = int(k)
         # ---- loop closing phase (LoopClosing::Run equivalent) ----------
         if (
             self.n_keyframes - self.last_loop_kf_count
@@ -266,11 +291,22 @@ class SlamSystem:
                 self.map, jnp.asarray(int(k)),
                 min_gap=cfg.loop.min_kfs_between_loops,
             )
-            if bool(det.found):
-                cand = loop_closing.compute_sim3(
-                    self.map, jnp.asarray(int(k)), det.kf_loop,
-                    det.marker_slot, self.cam, cfg,
+            if not bool(det.found):
+                det = loop_closing.detect_loop_by_bow(
+                    self.map, jnp.asarray(int(k)),
+                    min_gap=cfg.loop.min_kfs_between_loops,
                 )
+            if bool(det.found):
+                if int(det.marker_slot) >= 0:
+                    cand = loop_closing.compute_sim3(
+                        self.map, jnp.asarray(int(k)), det.kf_loop,
+                        det.marker_slot, self.cam, cfg,
+                    )
+                else:
+                    cand = loop_closing.compute_sim3_classic(
+                        self.map, jnp.asarray(int(k)), det.kf_loop,
+                        self.cam, cfg,
+                    )
                 if bool(cand.ok):
                     self.map, _ = loop_closing.correct_loop(
                         self.map, jnp.asarray(int(k)), det.kf_loop,

@@ -329,3 +329,67 @@ def track_local_map(
         new_visible,
         new_found,
     )
+
+
+class FullTrackResult(NamedTuple):
+    Rcw: jnp.ndarray
+    tcw: jnp.ndarray
+    obs_point: jnp.ndarray
+    n_inliers: jnp.ndarray       # final (local-map) inliers
+    n_first_stage: jnp.ndarray   # inliers after the first-stage track
+    used_aruco: jnp.ndarray      # bool
+    used_ref_kf: jnp.ndarray     # bool (fell back to reference-KF matching)
+    slots: jnp.ndarray           # [A] marker binding
+    any_new_marker: jnp.ndarray  # bool — fresh good marker in view
+    pt_visible: jnp.ndarray      # updated map counters
+    pt_found: jnp.ndarray
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def track_full(
+    state: MapState,
+    frame: Frame,
+    R_pred, t_pred,          # motion-model seed
+    R_last, t_last,          # last pose (fallback seed)
+    last_uv, last_desc, last_obs, last_valid, last_octave,
+    ref_kf,
+    cam: Camera,
+    cfg: SlamConfig,
+) -> FullTrackResult:
+    """The whole per-frame OK-state cascade as ONE jitted step — a single
+    device dispatch per frame instead of five (the reference's Track(),
+    src/Tracking.cc:192-492, minus keyframe creation which only runs on
+    insertion). Branching uses lax.cond on traced scalars."""
+    slots = bind_markers(state, frame)
+    ok_a, R_a, t_a, _ = aruco_pose_candidate(state, frame, slots, cam, cfg)
+    R0 = jnp.where(ok_a, R_a, R_pred)
+    t0 = jnp.where(ok_a, t_a, t_pred)
+
+    tr1 = track_frame(
+        state, frame, slots, R0, t0,
+        last_uv, last_desc, last_obs, last_valid, last_octave,
+        cam, cfg, search_radius=cfg.matcher.search_radius_motion,
+    )
+
+    need_ref = tr1.n_inliers < cfg.tracking.min_inliers_track
+
+    def ref_branch(_):
+        return track_vs_keyframe(
+            state, frame, slots, ref_kf, R0, t0, cam, cfg
+        )
+
+    def keep_branch(_):
+        return tr1
+
+    tr = jax.lax.cond(need_ref, ref_branch, keep_branch, None)
+
+    (tr2, (vis, found)) = track_local_map(
+        state, frame, slots, tr.Rcw, tr.tcw, tr.obs_point, cam, cfg
+    )
+    any_new = jnp.any(frame.mk_good & frame.mk_valid & (slots < 0))
+    return FullTrackResult(
+        Rcw=tr2.Rcw, tcw=tr2.tcw, obs_point=tr2.obs_point,
+        n_inliers=tr2.n_inliers, n_first_stage=tr.n_inliers,
+        used_aruco=ok_a, used_ref_kf=need_ref, slots=slots,
+        any_new_marker=any_new, pt_visible=vis, pt_found=found,
+    )

@@ -1,0 +1,61 @@
+"""Checkpoint save/load + trajectory export round trips."""
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+
+from orb_slam2_aruco_tpu.config import SlamConfig
+from orb_slam2_aruco_tpu.io import checkpoint, trajectory
+from orb_slam2_aruco_tpu.geometry import lie
+from orb_slam2_aruco_tpu.worldmap.state import empty_map
+
+
+def test_checkpoint_roundtrip(tmp_path, rng):
+    cfg = SlamConfig().replace(
+        map=SlamConfig().map.__class__(max_keyframes=8, max_points=128,
+                                       max_markers=4)
+    )
+    cfg = cfg.replace(orb=cfg.orb.__class__(num_features=64))
+    state = empty_map(cfg)
+    state = state._replace(
+        pt_xyz=state.pt_xyz.at[:10].set(
+            jnp.asarray(rng.normal(size=(10, 3)), dtype=jnp.float32)
+        ),
+        pt_valid=state.pt_valid.at[:10].set(True),
+        mk_id=state.mk_id.at[0].set(42),
+        mk_valid=state.mk_valid.at[0].set(True),
+        mk_twm=state.mk_twm.at[0].set(jnp.asarray([1.0, 2.0, 3.0])),
+        scale_done=jnp.asarray(True),
+    )
+    path = os.path.join(tmp_path, "map.npz")
+    checkpoint.save_map(path, state)
+    loaded = checkpoint.load_map(path)
+    for f in state._fields:
+        np.testing.assert_array_equal(
+            np.asarray(getattr(state, f)), np.asarray(getattr(loaded, f)), f
+        )
+    # markers ARE serialized (the reference loses them on load)
+    assert int(loaded.mk_id[0]) == 42 and bool(loaded.mk_valid[0])
+
+
+def test_tum_roundtrip(tmp_path, rng):
+    n = 10
+    Rs = [np.asarray(lie.so3_exp(jnp.asarray(rng.normal(size=3) * 0.3,
+                                             dtype=jnp.float32))) for _ in range(n)]
+    ts_ = [rng.normal(size=3).astype(np.float32) for _ in range(n)]
+    path = os.path.join(tmp_path, "traj.tum")
+    trajectory.save_tum(path, np.arange(n) / 30.0, Rs, ts_)
+    stamps, centers, quats = trajectory.load_tum(path)
+    assert len(stamps) == n
+    expected = trajectory.camera_centers(Rs, ts_)
+    np.testing.assert_allclose(centers, expected, atol=1e-5)
+
+
+def test_ate_zero_for_identical(rng):
+    c = rng.normal(size=(20, 3))
+    assert trajectory.ate_rmse(c, c, align=True) < 1e-6
+    # sim3-aligned ATE is ~0 for scaled+rotated copies
+    R = np.asarray(lie.so3_exp(jnp.asarray([0.3, 0.1, -0.2])))
+    c2 = 1.7 * c @ R.T + np.asarray([1.0, 2.0, 3.0])
+    assert trajectory.ate_rmse(c2, c, align=True, with_scale=True) < 1e-4

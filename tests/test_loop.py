@@ -196,3 +196,34 @@ def test_no_false_loop_without_revisit(rng):
     )
     det = loop_closing.detect_loop_by_marker(state, jnp.asarray(13), min_gap=5)
     assert not bool(det.found)
+
+
+def test_bow_loop_detection_and_classic_sim3(rng):
+    """The appearance path: remove the marker observations so only retrieval
+    can find the loop; classic Horn-RANSAC Sim3 must still solve it."""
+    cfg, cam, state, truth, est = build_drifted_map(rng)
+    # give keyframes BoW signatures derived from their descriptors
+    from orb_slam2_aruco_tpu.worldmap.retrieval import bow_vector
+
+    for k in range(14):
+        bow = bow_vector(state.kf_desc[k], state.kf_kp_valid[k],
+                         cfg.retrieval.num_words)
+        state = state._replace(kf_bow=state.kf_bow.at[k].set(bow))
+    # drop the marker observation in the last KF: no marker loop signal
+    state = state._replace(kf_mk_valid=state.kf_mk_valid.at[13, 0].set(False))
+    det_mk = loop_closing.detect_loop_by_marker(state, jnp.asarray(13), min_gap=5)
+    assert not bool(det_mk.found)
+    det = loop_closing.detect_loop_by_bow(state, jnp.asarray(13), min_gap=5)
+    assert bool(det.found)
+    assert int(det.kf_loop) == 0  # same descriptors -> strongest match
+    cand = loop_closing.compute_sim3_classic(
+        state, jnp.asarray(13), det.kf_loop, cam, cfg
+    )
+    assert bool(cand.ok), int(cand.n_inliers)
+    R_true, t_true = truth
+    err_before = float(jnp.linalg.norm(state.kf_tcw[13] - t_true[13]))
+    state2, _ = loop_closing.correct_loop(
+        state, jnp.asarray(13), det.kf_loop, cand.s, cand.R, cand.t, cam, cfg
+    )
+    err_after = float(jnp.linalg.norm(state2.kf_tcw[13] - t_true[13]))
+    assert err_after < 0.5 * err_before, (err_before, err_after)

@@ -99,3 +99,41 @@ def test_relocalization_after_blackout(sequence):
     # to a neighboring tracked frame instead: just check finite + reloc stat
     assert np.all(np.isfinite(c_est))
     assert slam.stats["reloc"] == 1
+
+
+def test_classic_init_and_scale_correction():
+    """Start where no markers are visible: classic H/F bootstrap at arbitrary
+    scale; once markers enter the view, aruco_plane_update must rescale the
+    map to metric (LocalMapping.cc:654-704 parity)."""
+    cfg = small_config()
+    # markers clustered to the right of the start position
+    world = synthetic.build_world(
+        [3, 17, 42, 99], px_per_m=700.0, spacing=0.45, grid_cols=2
+    )
+    n = 30
+    imgs, poses = [], []
+    for i in range(n):
+        # pan from x=-1.2 (marker-free texture) to x=0.3 (markers in view)
+        x = -1.2 + 1.5 * i / n
+        Rcw, tcw = synthetic.look_at_plane_pose((x, 0.22), 1.3, yaw=0.0,
+                                                pitch=0.03)
+        poses.append((Rcw, tcw))
+        imgs.append(synthetic.render_view(world, cfg.camera, Rcw, tcw))
+    slam = SlamSystem(cfg)
+    for i, img in enumerate(imgs):
+        slam.track_monocular(img, ts=i / 30.0)
+    assert slam.state is TrackingState.OK
+    assert bool(slam.map.scale_done), slam.stats
+    assert slam.stats.get("scale_corrections", 0) >= 1 or bool(
+        slam.map.scale_done
+    )
+    # after scale correction the trajectory should be metric: SE3-aligned ATE
+    est = [r for r in slam.get_trajectory() if r.state is TrackingState.OK]
+    # only compare the tail (post-correction)
+    tail = est[-8:]
+    est_c = trajectory.camera_centers([r.Rcw for r in tail],
+                                      [r.tcw for r in tail])
+    gt_c = trajectory.camera_centers([poses[r.frame_id][0] for r in tail],
+                                     [poses[r.frame_id][1] for r in tail])
+    ate = trajectory.ate_rmse(est_c, gt_c, align=True, with_scale=False)
+    assert ate < 0.08, ate
