@@ -28,4 +28,18 @@ import jax as _jax
 # default; perf-critical kernels opt back into bf16 by passing bf16 operands.
 _jax.config.update("jax_default_matmul_precision", "highest")
 
+# Persistent compilation cache: TPU compiles in this environment go through a
+# slow remote-compile relay (~1-2 min per computation); caching executables on
+# disk makes repeated runs start in seconds.
+import os as _os
+
+_cache_dir = _os.environ.get("ORB_SLAM2_ARUCO_TPU_CACHE",
+                             _os.path.expanduser("~/.cache/jax_comp"))
+try:
+    _os.makedirs(_cache_dir, exist_ok=True)
+    _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:  # cache is an optimization, never a hard dependency
+    pass
+
 from orb_slam2_aruco_tpu.config import SlamConfig  # noqa: F401

@@ -69,3 +69,16 @@ def ate_rmse(est_centers: np.ndarray, gt_centers: np.ndarray,
         )
     err = np.linalg.norm(est - gt, axis=-1)
     return float(np.sqrt(np.mean(err**2)))
+
+
+def save_kitti(path: str, Rcw_list, tcw_list):
+    """KITTI format: one 3x4 camera-to-world matrix per line, row-major
+    (System::SaveTrajectoryKITTI, reference src/System.cc:323-376)."""
+    lines = []
+    for Rcw, tcw in zip(Rcw_list, tcw_list):
+        Rwc = np.asarray(Rcw).T
+        c = -Rwc @ np.asarray(tcw)
+        P = np.concatenate([Rwc, c[:, None]], axis=1)
+        lines.append(" ".join(f"{v:.9e}" for v in P.reshape(-1)))
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")

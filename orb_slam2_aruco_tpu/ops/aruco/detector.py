@@ -267,6 +267,9 @@ def detect_markers(
     ).all(axis=-1)
     qvalid = qvalid & inside
     det = decode_quads(img, quads, qvalid, dict_name, cell_px=cell_px)
+    # subpixel corner refinement (CORNER_LINES mode)
+    refined = refine_corners_lines(img, det.corners)
+    det = det._replace(corners=refined)
     # deduplicate: if two candidate blobs decode to the same id (border blob
     # and interior blob can both form quads), keep the first occurrence
     ids = det.ids
@@ -276,3 +279,74 @@ def detect_markers(
     dup = jnp.any(same & earlier, axis=1)
     ok = det.valid & ~dup
     return det._replace(valid=ok, ids=jnp.where(ok, ids, -1))
+
+
+def refine_corners_lines(img, corners, n_samples: int = 16, search_r: float = 2.5,
+                         n_search: int = 11):
+    """Subpixel corner refinement by border-line fitting (the reference's
+    CORNER_LINES mode, Thirdparty/aruco markerdetector.h corner refinement
+    options): for each quad side, sample points along the side, find the
+    subpixel intensity-gradient maximum along the side's normal (parabolic
+    fit), total-least-squares fit a line per side, and intersect adjacent
+    lines. Fully batched over markers x sides x samples.
+
+    corners: [K, 4, 2] -> refined [K, 4, 2].
+    """
+    K = corners.shape[0]
+    p0 = corners                                   # side i: corner i -> i+1
+    p1 = jnp.roll(corners, -1, axis=1)
+    # sample fractions away from the corners (corners themselves are noisy)
+    fr = (jnp.arange(n_samples, dtype=jnp.float32) + 1.0) / (n_samples + 1.0)
+    pts = p0[:, :, None, :] + fr[None, None, :, None] * (
+        p1 - p0
+    )[:, :, None, :]                               # [K, 4, S, 2]
+    d = p1 - p0
+    length = jnp.maximum(jnp.linalg.norm(d, axis=-1, keepdims=True), 1e-6)
+    tang = d / length
+    normal = jnp.stack([-tang[..., 1], tang[..., 0]], axis=-1)  # [K, 4, 2]
+    # offsets along the normal
+    offs = jnp.linspace(-search_r, search_r, n_search)
+    samp_xy = (
+        pts[:, :, :, None, :]
+        + offs[None, None, None, :, None] * normal[:, :, None, None, :]
+    )  # [K, 4, S, n_search, 2]
+    flatxy = samp_xy.reshape(-1, 2)
+    vals = _bilinear_sample(img, flatxy[:, 0], flatxy[:, 1]).reshape(
+        K, 4, n_samples, n_search
+    )
+    # gradient magnitude along the normal (central differences over offsets)
+    g = jnp.abs(vals[..., 2:] - vals[..., :-2])    # [K, 4, S, n_search-2]
+    gi = jnp.argmax(g, axis=-1)
+    # parabolic subpixel peak around the argmax
+    gim = jnp.clip(gi, 1, n_search - 4)
+    gm1 = jnp.take_along_axis(g, gim[..., None] - 1, axis=-1)[..., 0]
+    g0 = jnp.take_along_axis(g, gim[..., None], axis=-1)[..., 0]
+    gp1 = jnp.take_along_axis(g, gim[..., None] + 1, axis=-1)[..., 0]
+    denom = gm1 - 2 * g0 + gp1
+    delta = jnp.where(jnp.abs(denom) > 1e-6, 0.5 * (gm1 - gp1) / denom, 0.0)
+    delta = jnp.clip(delta, -1.0, 1.0)
+    step = offs[1] - offs[0]
+    off_best = offs[0] + (gim.astype(jnp.float32) + 1.0 + delta) * step
+    edge_pts = pts + off_best[..., None] * normal[:, :, None, :]  # [K, 4, S, 2]
+    # total least squares line per side: centroid + principal direction
+    mu = jnp.mean(edge_pts, axis=2, keepdims=True)
+    dc = edge_pts - mu
+    C = jnp.einsum("kfsi,kfsj->kfij", dc, dc)
+    evals, evecs = jnp.linalg.eigh(C)
+    dirv = evecs[..., :, 1]                        # principal direction [K,4,2]
+    mu = mu[:, :, 0, :]
+    # intersect line i-1 with line i to refine corner i
+    p_a = jnp.roll(mu, 1, axis=1)
+    d_a = jnp.roll(dirv, 1, axis=1)
+    p_b = mu
+    d_b = dirv
+    # solve p_a + t d_a = p_b + s d_b
+    cross = d_a[..., 0] * d_b[..., 1] - d_a[..., 1] * d_b[..., 0]
+    diff = p_b - p_a
+    t = (diff[..., 0] * d_b[..., 1] - diff[..., 1] * d_b[..., 0]) / jnp.where(
+        jnp.abs(cross) < 1e-9, 1e-9, cross
+    )
+    refined = p_a + t[..., None] * d_a
+    # reject wild refinements (> 3 px from the integer estimate)
+    ok = jnp.linalg.norm(refined - corners, axis=-1) < 3.0
+    return jnp.where(ok[..., None], refined, corners)

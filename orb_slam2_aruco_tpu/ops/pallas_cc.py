@@ -1,0 +1,111 @@
+"""Pallas TPU kernel: connected-components label propagation.
+
+The ArUco quad stage labels dark blobs by iterated 8-neighbor min-propagation
+(ops/aruco/detector.py). The naive XLA loop does ONE propagation step per
+full-image HBM pass — O(D) passes for blob diameter D. This kernel performs
+K steps per tile visit entirely in VMEM (tile + K-pixel halo), cutting HBM
+traffic ~K-fold; and because the TPU grid executes sequentially with the
+output aliased over the input, later tiles see earlier tiles' already-updated
+labels within the same sweep (Gauss–Seidel), which also speeds left-to-right/
+top-to-bottom label flow.
+
+Falls back transparently to the XLA loop on CPU (interpret mode is used in
+tests).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _cc_kernel(labels_ref, out_ref, *, tile_h, tile_w, halo, k_steps, H, W):
+    ti = pl.program_id(0)
+    tj = pl.program_id(1)
+    y0 = ti * tile_h
+    x0 = tj * tile_w
+    # tile + halo; the caller pads the label image by `halo` with the sentinel
+    hy = tile_h + 2 * halo
+    hx = tile_w + 2 * halo
+
+    def body(buf_ref, sem_in, sem_out):
+        dma_in = pltpu.make_async_copy(
+            labels_ref.at[pl.ds(y0, hy), pl.ds(x0, hx)], buf_ref, sem_in
+        )
+        dma_in.start()
+        dma_in.wait()
+
+        def step(_, carry):
+            lab = buf_ref[:, :]
+            best = lab
+            # 8-neighbor min via rolls of the halo buffer. Wrap-around
+            # pollution travels at most k_steps-1 pixels inward — it never
+            # reaches the interior because halo == k_steps.
+            for dy in (-1, 0, 1):
+                for dx in (-1, 0, 1):
+                    if dy == 0 and dx == 0:
+                        continue
+                    sh = jnp.roll(lab, (-dy, -dx), axis=(0, 1))
+                    best = jnp.minimum(best, sh)
+            sentinel = jnp.int32(H * W)
+            new = jnp.where(lab < sentinel, jnp.minimum(lab, best), lab)
+            buf_ref[:, :] = new
+            return carry
+
+        jax.lax.fori_loop(0, k_steps, step, 0)
+        dma_out = pltpu.make_async_copy(
+            buf_ref.at[pl.ds(halo, tile_h), pl.ds(halo, tile_w)],
+            out_ref.at[pl.ds(y0 + halo, tile_h), pl.ds(x0 + halo, tile_w)],
+            sem_out,
+        )
+        dma_out.start()
+        dma_out.wait()
+
+    pl.run_scoped(
+        body,
+        pltpu.VMEM((hy, hx), jnp.int32),
+        pltpu.SemaphoreType.DMA(()),
+        pltpu.SemaphoreType.DMA(()),
+    )
+
+
+def cc_propagate_pallas(
+    labels,               # [H, W] int32; background = H*W sentinel
+    passes: int = 12,
+    k_steps: int = 16,
+    tile: int = 256,
+    interpret: bool = False,
+):
+    """Run `passes` sweeps of K-step tile-local propagation. Effective
+    propagation distance ~ passes * k_steps (more with Gauss–Seidel flow)."""
+    H, W = labels.shape
+    halo = k_steps
+    # pad to tile multiples + halo ring with the sentinel
+    Hp = -(-H // tile) * tile
+    Wp = -(-W // tile) * tile
+    sentinel = jnp.int32(H * W)
+    padded = jnp.full((Hp + 2 * halo, Wp + 2 * halo), sentinel, jnp.int32)
+    padded = padded.at[halo : halo + H, halo : halo + W].set(labels)
+
+    kern = functools.partial(
+        _cc_kernel, tile_h=tile, tile_w=tile, halo=halo, k_steps=k_steps,
+        H=H, W=W,
+    )
+
+    def one_sweep(p):
+        return pl.pallas_call(
+            kern,
+            grid=(Hp // tile, Wp // tile),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=pl.BlockSpec(memory_space=pl.ANY),
+            out_shape=jax.ShapeDtypeStruct(padded.shape, jnp.int32),
+            input_output_aliases={0: 0},
+            interpret=interpret,
+        )(p)
+
+    out = jax.lax.fori_loop(0, passes, lambda i, p: one_sweep(p), padded)
+    return out[halo : halo + H, halo : halo + W]

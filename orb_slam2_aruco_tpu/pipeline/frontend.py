@@ -65,9 +65,11 @@ def scale_sigma2(num_levels: int, scale: float):
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def make_frame(img, cam: Camera, cfg: SlamConfig) -> Frame:
-    """img: [H, W] float32 grayscale 0..255 (static shape)."""
+    """img: [H, W] grayscale 0..255, any integer/float dtype (static shape).
+    Pass uint8 from the host — the cast happens on device, and the 4x smaller
+    transfer matters on bandwidth-constrained links."""
     ocfg = cfg.orb
-    gray = img
+    gray = img.astype(jnp.float32)
     levels = image.build_pyramid(gray, ocfg.num_levels, ocfg.scale_factor)
     quotas = level_quotas(ocfg.num_features, ocfg.num_levels, ocfg.scale_factor)
     xs, octs, angs, descs, valids = [], [], [], [], []

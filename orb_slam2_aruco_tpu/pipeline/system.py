@@ -76,10 +76,10 @@ class SlamSystem:
 
     # ------------------------------------------------------------------
     def track_monocular(self, img: np.ndarray, ts: float):
-        """Process one grayscale frame ([H, W] float32 0..255). Returns the
-        world->camera pose (Rcw, tcw) as numpy, or None while uninitialized/
-        lost."""
-        frame = make_frame(jnp.asarray(img, dtype=jnp.float32), self.cam, self.cfg)
+        """Process one grayscale frame ([H, W], 0..255, uint8 or float; a
+        device-resident jnp array is used as-is). Returns the world->camera
+        pose (Rcw, tcw) as numpy, or None while uninitialized/lost."""
+        frame = make_frame(jnp.asarray(img), self.cam, self.cfg)
         fid = self.frame_id
         self.frame_id += 1
 
@@ -388,3 +388,27 @@ class SlamSystem:
 
     def get_trajectory(self):
         return self.trajectory
+
+    # ------------------------------------------------------------------
+    def save_map(self, path: str):
+        """System::SaveMap equivalent (markers included)."""
+        from orb_slam2_aruco_tpu.io import checkpoint
+
+        checkpoint.save_map(path, self.map)
+
+    def load_map(self, path: str):
+        """System::LoadMap equivalent: load a checkpoint and enter
+        localization-only tracking (the reference reconstructs KeyFrames via
+        InitKeyFrame/SystemSetting; here the checkpoint is the full map
+        state, so nothing needs rebuilding — including markers and retrieval
+        signatures, which the reference loses)."""
+        from orb_slam2_aruco_tpu.io import checkpoint
+
+        self.map = checkpoint.load_map(path)
+        self.n_keyframes = int(self.map.num_keyframes())
+        self.state = TrackingState.LOST  # relocalize against the loaded map
+        self.localization_only = True
+        self.last_frame = None
+        self.last_obs = None
+        self.last_pose = None
+        self.vel = None

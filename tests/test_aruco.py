@@ -87,7 +87,7 @@ def test_detect_corner_accuracy_and_order():
         uv_det = corners[k[0]]
         uv_gt = _project(CAM, Rcw, tcw, world.marker_corners_world(spec))
         err = np.linalg.norm(uv_det - uv_gt, axis=-1)
-        assert err.max() < 2.5, (spec.marker_id, uv_det, uv_gt)
+        assert err.max() < 1.0, (spec.marker_id, uv_det, uv_gt)  # subpixel refinement
 
 
 def test_detect_tilted_view():
@@ -127,3 +127,28 @@ def test_detection_to_ippe_pose():
         assert np.linalg.norm(t_est - t_cm) < 0.06, (spec.marker_id, t_est, t_cm)
         checked += 1
     assert checked >= 3
+
+
+def test_native_quadfind_parity():
+    """The C++ contour quad proposer must find the same markers as the
+    TPU label-propagation path when its quads feed the same decode stage."""
+    from orb_slam2_aruco_tpu.ops.aruco import native
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native library not built")
+    world, img, Rcw, tcw = _render_frontal()
+    quads = native.find_quads_native(img, min_area=300.0)
+    assert len(quads) >= 4
+    # feed the native quads through the shared decode stage
+    K = 32
+    qpad = np.zeros((K, 4, 2), np.float32)
+    qpad[: len(quads)] = quads[:K]
+    valid = np.zeros(K, bool)
+    valid[: len(quads)] = True
+    det = detector.decode_quads(
+        jnp.asarray(img), jnp.asarray(qpad), jnp.asarray(valid), "ARUCO"
+    )
+    found = {int(i) for i in np.asarray(det.ids) if i >= 0}
+    assert found == {3, 17, 42, 99}, found
