@@ -43,6 +43,8 @@ class Frame(NamedTuple):
     mk_Rcm: jnp.ndarray      # [A, 3, 3] best IPPE pose (camera <- marker)
     mk_tcm: jnp.ndarray      # [A, 3]
     mk_ippe_ratio: jnp.ndarray  # [A]
+    ctrl: jnp.ndarray        # [2] f32 [n_valid_keypoints, n_good_markers] —
+                             # host decisions in one device->host read
 
 
 def level_quotas(n_features: int, num_levels: int, scale: float):
@@ -123,6 +125,10 @@ def make_frame(img, cam: Camera, cfg: SlamConfig) -> Frame:
     xn = cam_mod.pixels_to_normalized(cam, corners_un)
     ippe_res = ippe_square(acfg.marker_size, xn)
     good = valid & (ippe_res.ratio < acfg.ippe_ambiguity_ratio)
+    ctrl = jnp.stack([
+        jnp.sum(kp_valid.astype(jnp.float32)),
+        jnp.sum(good.astype(jnp.float32)),
+    ])
     return Frame(
         kp_uv=kp_uv,
         kp_octave=kp_octave,
@@ -137,4 +143,5 @@ def make_frame(img, cam: Camera, cfg: SlamConfig) -> Frame:
         mk_Rcm=ippe_res.R[:, 0],
         mk_tcm=ippe_res.t[:, 0],
         mk_ippe_ratio=ippe_res.ratio,
+        ctrl=ctrl,
     )

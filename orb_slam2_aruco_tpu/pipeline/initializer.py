@@ -36,6 +36,15 @@ class InitCandidate(NamedTuple):
     err: jnp.ndarray        # mean corner reprojection error (px)
     baseline: jnp.ndarray   # ||t21||
 
+    @property
+    def ctrl(self):
+        # [ok, err, baseline] for a single host readback
+        import jax.numpy as _jnp
+
+        return _jnp.stack([
+            self.ok.astype(_jnp.float32), self.err, self.baseline
+        ])
+
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def marker_relative_pose(f1: Frame, f2: Frame, cam: Camera,

@@ -100,8 +100,9 @@ class SlamSystem:
     # ------------------------------------------------------------------
     def _try_initialize(self, frame: Frame, fid: int, ts: float):
         cfg = self.cfg
-        n_good_mk = int(jnp.sum(frame.mk_good))
-        n_kp = int(jnp.sum(frame.kp_valid))
+        fctrl = np.asarray(frame.ctrl)   # one read: [n_kp, n_good_markers]
+        n_kp = int(fctrl[0])
+        n_good_mk = int(fctrl[1])
         if self.init_frame is None:
             if n_kp >= cfg.tracking.min_init_features:
                 self.init_frame = frame
@@ -114,9 +115,11 @@ class SlamSystem:
         cand = initializer.marker_relative_pose(
             self.init_frame, frame, self.cam, cfg
         )
-        if not bool(cand.ok):
-            bad_geometry = float(cand.err) >= cfg.tracking.init_marker_reproj_err
-            no_common_marker = float(cand.err) >= 1e8
+        cctrl = np.asarray(cand.ctrl)    # one read: [ok, err, baseline]
+        cand_ok = cctrl[0] > 0.5
+        if not cand_ok:
+            bad_geometry = float(cctrl[1]) >= cfg.tracking.init_marker_reproj_err
+            no_common_marker = float(cctrl[1]) >= 1e8
             if no_common_marker and fid - self.init_frame_id >= 2:
                 # markerless fallback: classic H/F bootstrap (unit scale; a
                 # later aruco_plane_update supplies metric scale)
@@ -124,7 +127,8 @@ class SlamSystem:
                     self.init_frame, frame, self.cam, cfg
                 )
                 metric = False
-            if not bool(cand.ok):
+                cand_ok = bool(cand.ok)
+            if not cand_ok:
                 # keep the reference while the only blocker is a small
                 # baseline; replace it when geometry is inconsistent
                 if bad_geometry and not no_common_marker and n_good_mk > 0:
@@ -194,8 +198,12 @@ class SlamSystem:
             self.last_frame.kp_valid, self.last_frame.kp_octave,
             jnp.asarray(self.ref_kf), self.cam, cfg,
         )
-        n_map_inliers = int(out.n_inliers)
-        if bool(out.used_aruco):
+        # ONE device->host read per frame: the relay's per-readback latency
+        # dominates everything else, so all control scalars + the pose travel
+        # in a single packed vector
+        ctrl = np.asarray(out.ctrl)
+        n_map_inliers = int(ctrl[0])
+        if ctrl[2] > 0.5:
             self.stats["aruco_seeded"] += 1
         if n_map_inliers < cfg.tracking.min_inliers_track:
             self.state = TrackingState.LOST
@@ -204,6 +212,8 @@ class SlamSystem:
             pt_visible=out.pt_visible, pt_found=out.pt_found
         )
         Rcw, tcw = out.Rcw, out.tcw
+        Rcw_np = ctrl[5:14].reshape(3, 3)
+        tcw_np = ctrl[14:17]
 
         # velocity: T_cur * T_last^-1
         Rl_inv, tl_inv = se3_inverse(*self.last_pose)
@@ -211,7 +221,7 @@ class SlamSystem:
 
         # keyframe decision (NeedNewKeyFrame, Tracking.cc:1296-1392)
         if not self.localization_only:
-            new_good = bool(out.any_new_marker)
+            new_good = ctrl[4] > 0.5
             since_kf = fid - self.last_kf_frame_id
             weak = n_map_inliers < 50 and since_kf >= 3
             timeout = since_kf >= cfg.tracking.max_frames_between_kf
@@ -222,7 +232,7 @@ class SlamSystem:
         self.last_frame = frame
         self.last_obs = out.obs_point
         self.last_pose = (Rcw, tcw)
-        return np.asarray(Rcw), np.asarray(tcw)
+        return Rcw_np, tcw_np
 
     # ------------------------------------------------------------------
     def _insert_keyframe(self, frame, Rcw, tcw, obs_point, slots, fid, ts):

@@ -343,6 +343,11 @@ class FullTrackResult(NamedTuple):
     any_new_marker: jnp.ndarray  # bool — fresh good marker in view
     pt_visible: jnp.ndarray      # updated map counters
     pt_found: jnp.ndarray
+    ctrl: jnp.ndarray            # [17] f32: everything the host loop needs in
+                                 # ONE device->host read (this environment's
+                                 # relay has ~1 s per-readback latency):
+                                 # [n_inl, n_first, aruco, refkf, new_mk,
+                                 #  Rcw(9), tcw(3)]
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
@@ -387,9 +392,21 @@ def track_full(
         state, frame, slots, tr.Rcw, tr.tcw, tr.obs_point, cam, cfg
     )
     any_new = jnp.any(frame.mk_good & frame.mk_valid & (slots < 0))
+    ctrl = jnp.concatenate([
+        jnp.stack([
+            tr2.n_inliers.astype(jnp.float32),
+            tr.n_inliers.astype(jnp.float32),
+            ok_a.astype(jnp.float32),
+            need_ref.astype(jnp.float32),
+            any_new.astype(jnp.float32),
+        ]),
+        tr2.Rcw.reshape(9),
+        tr2.tcw,
+    ])
     return FullTrackResult(
         Rcw=tr2.Rcw, tcw=tr2.tcw, obs_point=tr2.obs_point,
         n_inliers=tr2.n_inliers, n_first_stage=tr.n_inliers,
         used_aruco=ok_a, used_ref_kf=need_ref, slots=slots,
         any_new_marker=any_new, pt_visible=vis, pt_found=found,
+        ctrl=ctrl,
     )
