@@ -74,83 +74,87 @@ def connected_components(binary, iters: int):
     return jax.lax.fori_loop(0, iters, body, labels)
 
 
-def _segment_argmax(value, labels, num_segments, flat_idx):
-    """Per-segment argmax returning the winning pixel's flat index."""
-    m = jax.ops.segment_max(value, labels, num_segments=num_segments)
-    is_max = value >= (m[labels] - 1e-6)
-    idx = jnp.where(is_max, flat_idx, jnp.int32(2**30))
-    return jax.ops.segment_min(idx, labels, num_segments=num_segments)
-
-
 def quad_candidates(binary, max_quads: int, min_area: float = 64.0,
                     max_area_frac: float = 0.25, cc_iters: int = 0):
     """Extract up to max_quads quadrilateral blob candidates.
 
     Returns (quads [K, 4, 2] in (x, y) float pixels, area [K], valid [K]).
     Corner order: (c1, c3, c2, c4) = a consistent winding around the blob.
+
+    SCATTER-FREE by design: XLA scatters on TPU serialize (a 0.5M-element
+    segment_sum costs seconds), so blob statistics are computed with
+    sort + searchsorted (per-pixel blob areas), top-K root compaction, and
+    [Q, P] masked matmul/reductions on the MXU/VPU — milliseconds instead.
     """
     h, w = binary.shape
-    n_seg = h * w + 1
-    # a blob of diameter D is fully labeled after ~D iterations; markers are
-    # bounded in screen size, so cap the propagation depth (the dominant
-    # per-frame cost at high resolution)
+    P = h * w
     if cc_iters <= 0:
+        # a blob of diameter D is fully labeled after ~D iterations; markers
+        # are bounded in screen size, so cap the propagation depth
         cc_iters = min(192, max(h, w) // 2)
     labels2d = connected_components(binary, iters=cc_iters)
     labels = labels2d.reshape(-1)
-    flat_idx = jnp.arange(h * w, dtype=jnp.int32)
+    flat_idx = jnp.arange(P, dtype=jnp.int32)
     xs = (flat_idx % w).astype(jnp.float32)
     ys = (flat_idx // w).astype(jnp.float32)
-    ones = jnp.ones_like(xs)
 
-    cnt = jax.ops.segment_sum(ones, labels, num_segments=n_seg)
-    sx = jax.ops.segment_sum(xs, labels, num_segments=n_seg)
-    sy = jax.ops.segment_sum(ys, labels, num_segments=n_seg)
-    cx = sx / jnp.maximum(cnt, 1.0)
-    cy = sy / jnp.maximum(cnt, 1.0)
+    # per-pixel blob area via sorted run lengths (binary search, no scatter)
+    sorted_labels = jnp.sort(labels)
+    left = jnp.searchsorted(sorted_labels, labels, side="left")
+    right = jnp.searchsorted(sorted_labels, labels, side="right")
+    area_pp = (right - left).astype(jnp.float32)
+
+    fg = labels < P
+    is_root = (labels == flat_idx) & fg
+    area_ok = (area_pp >= min_area) & (area_pp <= max_area_frac * P)
+    score = jnp.where(is_root & area_ok, area_pp, 0.0)
+    vals, roots = jax.lax.top_k(score, max_quads)   # [Q] root pixel indices
+    valid = vals > 0
+    root_label = jnp.where(valid, roots, -1)
+
+    # membership matrix [Q, P] — all per-blob stats are masked reductions
+    M = labels[None, :] == root_label[:, None]
+    coords = jnp.stack([jnp.ones_like(xs), xs, ys], axis=-1)   # [P, 3]
+    stats = jnp.dot(
+        M.astype(jnp.float32), coords, preferred_element_type=jnp.float32
+    )  # [Q, 3] on the MXU
+    cnt = jnp.maximum(stats[:, 0], 1.0)
+    cx = stats[:, 1] / cnt
+    cy = stats[:, 2] / cnt
+
+    NEG = -1e18
+    BIG = jnp.int32(2**30)
+
+    def masked_argmax(metric):
+        """metric [Q, P] -> (x, y) of the per-blob maximizing pixel."""
+        mx = jnp.max(jnp.where(M, metric, NEG), axis=1)
+        hit = M & (metric >= mx[:, None] - 1e-3)
+        idx = jnp.min(jnp.where(hit, flat_idx[None, :], BIG), axis=1)
+        idx = jnp.clip(idx, 0, P - 1)
+        return xs[idx], ys[idx]
 
     # corner 1: farthest from centroid
-    d2c = (xs - cx[labels]) ** 2 + (ys - cy[labels]) ** 2
-    i1 = _segment_argmax(d2c, labels, n_seg, flat_idx)
-    x1 = xs[jnp.clip(i1, 0, h * w - 1)]
-    y1 = ys[jnp.clip(i1, 0, h * w - 1)]
+    d2c = (xs[None, :] - cx[:, None]) ** 2 + (ys[None, :] - cy[:, None]) ** 2
+    x1, y1 = masked_argmax(d2c)
     # corner 2: farthest from corner 1
-    d2c1 = (xs - x1[labels]) ** 2 + (ys - y1[labels]) ** 2
-    i2 = _segment_argmax(d2c1, labels, n_seg, flat_idx)
-    x2 = xs[jnp.clip(i2, 0, h * w - 1)]
-    y2 = ys[jnp.clip(i2, 0, h * w - 1)]
+    d2c1 = (xs[None, :] - x1[:, None]) ** 2 + (ys[None, :] - y1[:, None]) ** 2
+    x2, y2 = masked_argmax(d2c1)
     # corners 3/4: extremes of the signed cross product across diagonal 1-2
-    crossv = (xs - x1[labels]) * (y2[labels] - y1[labels]) - (
-        ys - y1[labels]
-    ) * (x2[labels] - x1[labels])
-    i3 = _segment_argmax(crossv, labels, n_seg, flat_idx)
-    i4 = _segment_argmax(-crossv, labels, n_seg, flat_idx)
-    x3 = xs[jnp.clip(i3, 0, h * w - 1)]
-    y3 = ys[jnp.clip(i3, 0, h * w - 1)]
-    x4 = xs[jnp.clip(i4, 0, h * w - 1)]
-    y4 = ys[jnp.clip(i4, 0, h * w - 1)]
-
-    # compact: roots are pixels whose label equals their own index
-    is_root = labels == flat_idx
-    area_ok = (cnt[flat_idx] >= min_area) & (
-        cnt[flat_idx] <= max_area_frac * h * w
-    )
-    score = jnp.where(is_root & area_ok, cnt[flat_idx], 0.0)
-    vals, roots = jax.lax.top_k(score, max_quads)
-    valid = vals > 0
-
-    def gather(a):
-        return a[roots]
+    crossv = (xs[None, :] - x1[:, None]) * (y2 - y1)[:, None] - (
+        ys[None, :] - y1[:, None]
+    ) * (x2 - x1)[:, None]
+    x3, y3 = masked_argmax(crossv)
+    x4, y4 = masked_argmax(-crossv)
 
     quads = jnp.stack(
         [
-            jnp.stack([gather(x1), gather(y1)], axis=-1),
-            jnp.stack([gather(x3), gather(y3)], axis=-1),
-            jnp.stack([gather(x2), gather(y2)], axis=-1),
-            jnp.stack([gather(x4), gather(y4)], axis=-1),
+            jnp.stack([x1, y1], axis=-1),
+            jnp.stack([x3, y3], axis=-1),
+            jnp.stack([x2, y2], axis=-1),
+            jnp.stack([x4, y4], axis=-1),
         ],
         axis=-2,
-    )  # [K, 4, 2]
+    )  # [Q, 4, 2]
     return quads, vals, valid
 
 
@@ -248,14 +252,37 @@ def detect_markers(
     min_area: float = 100.0,
     cell_px: int = 8,
     cc_iters: int = 0,
+    downsample: int = 1,
 ) -> DetectedMarkers:
     """Full detection pipeline on a grayscale image [H, W] float32 (0..255).
+
+    `downsample` > 1 runs the blob/quad proposal stage at reduced resolution
+    (the ArUco3 paper's low-resolution detection idea): connected components,
+    sorting, and blob statistics shrink by downsample^2 while bit decoding
+    and subpixel corner refinement still sample the FULL-resolution image, so
+    accuracy is preserved.
 
     Cite: reference Frame.cc:142 calls MarkerDetector::detect per frame; this
     is the jittable equivalent with static output capacity."""
     binary = adaptive_threshold(img, adaptive_win, adaptive_c)
-    quads, _, qvalid = quad_candidates(binary, max_quads, min_area=min_area,
-                                       cc_iters=cc_iters)
+    if downsample > 1:
+        ds = downsample
+        h0, w0 = binary.shape
+        hq = (h0 // ds) * ds
+        wq = (w0 // ds) * ds
+        # a low-res pixel is foreground if most of its block is (majority
+        # vote keeps thin borders from vanishing at ds=2)
+        blocks = binary[:hq, :wq].reshape(h0 // ds, ds, w0 // ds, ds)
+        binary_s = blocks.sum(axis=(1, 3)) * 2 >= ds * ds
+        quads, _, qvalid = quad_candidates(
+            binary_s, max_quads, min_area=min_area / (ds * ds),
+            cc_iters=cc_iters,
+        )
+        quads = quads * float(ds) + (ds - 1) / 2.0
+    else:
+        quads, _, qvalid = quad_candidates(
+            binary, max_quads, min_area=min_area, cc_iters=cc_iters
+        )
     # reject border-touching quads: a partially visible marker can decode to
     # a DIFFERENT valid code (the reference detector likewise drops contours
     # touching the image border)

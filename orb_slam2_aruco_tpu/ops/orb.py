@@ -31,12 +31,17 @@ _PATTERN_SEED = 20260817
 
 @lru_cache(maxsize=1)
 def brief_pattern() -> np.ndarray:
-    """[256, 4] int32 (x1, y1, x2, y2) offsets in [-13, 13]."""
+    """[256, 4] float32 (x1, y1, x2, y2) offsets with NORM <= 13 so any
+    rotation stays inside a 32x32 patch (offsets -16..15)."""
     rng = np.random.default_rng(_PATTERN_SEED)
     sigma = (2 * PATCH_RADIUS + 1) / 5.0
-    pts = rng.normal(0.0, sigma, size=(NUM_BITS, 4))
-    pts = np.clip(np.round(pts), -(PATCH_RADIUS - 2), PATCH_RADIUS - 2)
-    return pts.astype(np.int32)
+    pts = rng.normal(0.0, sigma, size=(NUM_BITS, 4)).astype(np.float32)
+    for cols in ((0, 1), (2, 3)):
+        v = pts[:, cols]
+        n = np.linalg.norm(v, axis=1, keepdims=True)
+        scale = np.minimum(1.0, (PATCH_RADIUS - 2.0) / np.maximum(n, 1e-6))
+        pts[:, cols] = v * scale
+    return np.round(pts).astype(np.float32)
 
 
 @lru_cache(maxsize=1)
@@ -61,45 +66,102 @@ def orientation_map(img):
     return jnp.arctan2(m01, m10)
 
 
+@lru_cache(maxsize=1)
+def _moment_kernels_patch32():
+    """Moment kernels embedded in a flattened 32x32 patch with the keypoint
+    at (16, 16) — IC angle becomes two [N,1024]x[1024] matvecs instead of two
+    31x31 full-image convolutions per pyramid level."""
+    y, x = np.mgrid[0:32, 0:32]
+    dx = (x - 16).astype(np.float32)
+    dy = (y - 16).astype(np.float32)
+    circ = (dx * dx + dy * dy <= 15 * 15).astype(np.float32)
+    return (
+        jnp.asarray((dx * circ).reshape(-1)),
+        jnp.asarray((dy * circ).reshape(-1)),
+    )
+
+
 def keypoint_angles(img, xy):
-    """Angles at keypoint positions. xy [N, 2] (x, y) float. Uses the exact
-    per-keypoint circular moments via gather-free convolution + nearest
-    gather."""
-    ang = orientation_map(img)
+    """IC angles at keypoint positions (reference IC_Angle,
+    ORBextractor.cc:77-104). xy [N, 2] (x, y) float."""
+    n = xy.shape[0]
+    patches = extract_patches(img, xy).reshape(n, -1)
+    kx, ky = _moment_kernels_patch32()
+    m10 = patches @ kx
+    m01 = patches @ ky
+    return jnp.arctan2(m01, m10)
+
+
+ANGLE_BINS = 32
+_PATCH = 32          # patch covers offsets -16..15 around the keypoint
+_PATCH_C = 16.0      # patch-local coordinates of the keypoint
+
+
+@lru_cache(maxsize=1)
+def _steered_sample_tables():
+    """[ANGLE_BINS, 512, 1024] bilinear sampling matrices: row (b, k) holds
+    the 4-tap bilinear weights that read pattern point k rotated by angle bin
+    b out of a flattened 32x32 patch. Turns steered-BRIEF sampling into one
+    MXU matmul — XLA's random-index gathers serialize on TPU (~1 us/element,
+    i.e. seconds per frame for 512 samples x 1000 keypoints x 8 levels)."""
+    pat = brief_pattern()  # [256, 4]
+    pts = np.concatenate([pat[:, :2], pat[:, 2:]], axis=0)  # [512, 2] (x, y)
+    tables = np.zeros((ANGLE_BINS, 512, _PATCH * _PATCH), np.float32)
+    for b in range(ANGLE_BINS):
+        th = 2.0 * np.pi * b / ANGLE_BINS
+        c, s = np.cos(th), np.sin(th)
+        # same steering convention as the reference computeOrbDescriptor:
+        # x' = x cos - y sin, y' = x sin + y cos
+        rx = pts[:, 0] * c - pts[:, 1] * s + _PATCH_C
+        ry = pts[:, 0] * s + pts[:, 1] * c + _PATCH_C
+        x0 = np.clip(np.floor(rx).astype(int), 0, _PATCH - 2)
+        y0 = np.clip(np.floor(ry).astype(int), 0, _PATCH - 2)
+        fx = np.clip(rx - x0, 0.0, 1.0)
+        fy = np.clip(ry - y0, 0.0, 1.0)
+        for k in range(512):
+            base = y0[k] * _PATCH + x0[k]
+            tables[b, k, base] += (1 - fx[k]) * (1 - fy[k])
+            tables[b, k, base + 1] += fx[k] * (1 - fy[k])
+            tables[b, k, base + _PATCH] += (1 - fx[k]) * fy[k]
+            tables[b, k, base + _PATCH + 1] += fx[k] * fy[k]
+    return jnp.asarray(tables, dtype=jnp.bfloat16)
+
+
+def extract_patches(img, xy, patch: int = _PATCH):
+    """[N, patch, patch] patches centered (top-left at kp - patch/2) via
+    vmapped dynamic_slice — contiguous sliced gathers, TPU-fast."""
     h, w = img.shape
-    xi = jnp.clip(jnp.round(xy[:, 0]).astype(jnp.int32), 0, w - 1)
-    yi = jnp.clip(jnp.round(xy[:, 1]).astype(jnp.int32), 0, h - 1)
-    return ang[yi, xi]
+    x0 = jnp.clip(jnp.round(xy[:, 0]).astype(jnp.int32) - patch // 2, 0, w - patch)
+    y0 = jnp.clip(jnp.round(xy[:, 1]).astype(jnp.int32) - patch // 2, 0, h - patch)
+
+    def slice_one(y, x):
+        return jax.lax.dynamic_slice(img, (y, x), (patch, patch))
+
+    return jax.vmap(slice_one)(y0, x0)
 
 
 def describe(img_blurred, xy, angles):
     """256-bit rotated BRIEF. img_blurred [H, W]; xy [N, 2]; angles [N].
 
+    Patch extraction + per-angle-bin bilinear sampling matrices: the
+    N x (BINS*512) x 1024 contraction runs on the MXU; the only gathers are
+    contiguous patch slices and a small take_along_axis over the bin axis.
     Returns packed descriptors [N, 8] uint32."""
-    h, w = img_blurred.shape
-    pat = jnp.asarray(brief_pattern())  # [256, 4]
-    p1 = pat[:, :2].astype(jnp.float32)  # (x, y)
-    p2 = pat[:, 2:].astype(jnp.float32)
-    c = jnp.cos(angles)
-    s = jnp.sin(angles)
-
-    def rot(p):
-        # [N, 256, 2]: steered pattern (same rotation convention as the
-        # reference's computeOrbDescriptor: x' = x cos - y sin, y' = x sin + y cos)
-        x = p[None, :, 0] * c[:, None] - p[None, :, 1] * s[:, None]
-        y = p[None, :, 0] * s[:, None] + p[None, :, 1] * c[:, None]
-        return x, y
-
-    x1, y1 = rot(p1)
-    x2, y2 = rot(p2)
-    gx1 = jnp.clip(jnp.round(xy[:, 0:1] + x1).astype(jnp.int32), 0, w - 1)
-    gy1 = jnp.clip(jnp.round(xy[:, 1:2] + y1).astype(jnp.int32), 0, h - 1)
-    gx2 = jnp.clip(jnp.round(xy[:, 0:1] + x2).astype(jnp.int32), 0, w - 1)
-    gy2 = jnp.clip(jnp.round(xy[:, 1:2] + y2).astype(jnp.int32), 0, h - 1)
-    flat = img_blurred.reshape(-1)
-    t1 = flat[gy1 * w + gx1]
-    t2 = flat[gy2 * w + gx2]
-    bits = (t1 < t2).astype(jnp.uint32)  # [N, 256]
+    n = xy.shape[0]
+    patches = extract_patches(img_blurred, xy).reshape(n, _PATCH * _PATCH)
+    tables = _steered_sample_tables()            # [B, 512, 1024] bf16
+    samples = jnp.einsum(
+        "nq,bsq->nbs",
+        patches.astype(jnp.bfloat16),
+        tables,
+        preferred_element_type=jnp.float32,
+    )  # [N, B, 512]
+    bins = jnp.mod(
+        jnp.round(angles * (ANGLE_BINS / (2.0 * jnp.pi))).astype(jnp.int32),
+        ANGLE_BINS,
+    )
+    sel = jnp.take_along_axis(samples, bins[:, None, None], axis=1)[:, 0]
+    bits = (sel[:, :256] < sel[:, 256:]).astype(jnp.uint32)
     return pack_bits(bits)
 
 

@@ -35,6 +35,7 @@ from orb_slam2_aruco_tpu.geometry.camera import Camera
 from orb_slam2_aruco_tpu.geometry.lie import se3_exp, se3_compose
 from orb_slam2_aruco_tpu.optim import residuals as res
 from orb_slam2_aruco_tpu.optim.lm import diag_embed
+from orb_slam2_aruco_tpu.optim.segsum import segment_sum_sorted
 
 
 class BAProblem(NamedTuple):
@@ -182,10 +183,10 @@ def ba_solve(
 
         # --- landmark (point) blocks -------------------------------------
         # Hpp[l] = sum_e w JpT Jp (3x3); bp[l] = -sum w JpT r
-        Hpp = jax.ops.segment_sum(
+        Hpp = segment_sum_sorted(
             jnp.einsum("fei,f,fej->fij", Jp_e, w_e, Jp_e), p.e_pt, num_segments=points.shape[0]
         )
-        bp = jax.ops.segment_sum(
+        bp = segment_sum_sorted(
             -jnp.einsum("fei,f,fe->fi", Jp_e, w_e, r_e), p.e_pt, num_segments=points.shape[0]
         )
         Hpp = maybe_psum(Hpp)
@@ -199,20 +200,20 @@ def ba_solve(
         )
 
         # --- camera/marker diagonal blocks -------------------------------
-        Hcc = jax.ops.segment_sum(
+        Hcc = segment_sum_sorted(
             jnp.einsum("fei,f,fej->fij", Jc_e, w_e, Jc_e), p.e_kf, num_segments=K
-        ) + jax.ops.segment_sum(
+        ) + segment_sum_sorted(
             jnp.einsum("fei,f,fej->fij", Jc_m, w_m, Jc_m), p.m_kf, num_segments=K
         )
-        bc = jax.ops.segment_sum(
+        bc = segment_sum_sorted(
             -jnp.einsum("fei,f,fe->fi", Jc_e, w_e, r_e), p.e_kf, num_segments=K
-        ) + jax.ops.segment_sum(
+        ) + segment_sum_sorted(
             -jnp.einsum("fei,f,fe->fi", Jc_m, w_m, r_m), p.m_kf, num_segments=K
         )
-        Hmm = jax.ops.segment_sum(
+        Hmm = segment_sum_sorted(
             jnp.einsum("fei,f,fej->fij", Jm_m, w_m, Jm_m), p.m_marker, num_segments=M
         )
-        bm = jax.ops.segment_sum(
+        bm = segment_sum_sorted(
             -jnp.einsum("fei,f,fe->fi", Jm_m, w_m, r_m), p.m_marker, num_segments=M
         )
 
@@ -239,10 +240,9 @@ def ba_solve(
         # point) block matrices by scatter, then one big MXU contraction over
         # the point axis: S_cc = -Y W^T. [K, L, 6, 3] each.
         L = points.shape[0]
-        Wmat = jnp.zeros((K, L, 6, 3), dtype=r_e.dtype)
-        Wmat = Wmat.at[p.e_kf, p.e_pt].add(Wcp)
-        Ymat = jnp.zeros((K, L, 6, 3), dtype=r_e.dtype)
-        Ymat = Ymat.at[p.e_kf, p.e_pt].add(Yl)
+        kl_ids = p.e_kf * L + p.e_pt
+        Wmat = segment_sum_sorted(Wcp, kl_ids, K * L).reshape(K, L, 6, 3)
+        Ymat = segment_sum_sorted(Yl, kl_ids, K * L).reshape(K, L, 6, 3)
         Wmat = maybe_psum(Wmat)
         Ymat = maybe_psum(Ymat)
         S_cc = -jnp.einsum("alik,bljk->abij", Ymat, Wmat)  # [K, K, 6, 6]
@@ -261,7 +261,7 @@ def ba_solve(
         S = S.at[jnp.arange(K, K + M), jnp.arange(K, K + M)].add(Hmm)
         # camera-marker couplings (not affected by point marginalization)
         Hcm_sum = maybe_psum(
-            jax.ops.segment_sum(
+            segment_sum_sorted(
                 Hcm_blocks, p.m_kf * M + p.m_marker, num_segments=K * M
             ).reshape(K, M, 6, 6)
         )
@@ -289,7 +289,7 @@ def ba_solve(
         # --- back-substitute points --------------------------------------
         # dp[l] = Hpp_inv (bp - W^T dxc) ; W^T dxc aggregated over edges
         Wt_dxc = maybe_psum(
-            jax.ops.segment_sum(
+            segment_sum_sorted(
                 jnp.einsum("fij,fi->fj", Wcp, dxc[p.e_kf]),
                 p.e_pt,
                 num_segments=L,

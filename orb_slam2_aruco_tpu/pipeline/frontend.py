@@ -113,6 +113,7 @@ def make_frame(img, cam: Camera, cfg: SlamConfig) -> Frame:
         min_area=acfg.min_quad_side_px**2,
         cell_px=acfg.warp_cell_px,
         cc_iters=acfg.cc_iters,
+        downsample=acfg.detect_downsample,
     )
     # compact the top-A valid detections
     A = acfg.max_markers_per_frame

@@ -248,13 +248,16 @@ def cull_points(state: MapState, current_kf_count, min_found_ratio: float = 0.25
     """MapPointCulling (reference src/LocalMapping.cc:185-220): drop points
     whose found/visible ratio is poor. (The 2-obs-in-2-KF gate needs obs
     counting — approximated via the incidence count.)"""
+    from orb_slam2_aruco_tpu.optim.segsum import segment_sum_sorted
+
     ratio = state.pt_found / jnp.maximum(state.pt_visible, 1.0)
-    # observation count from the observation table
+    # observation count from the observation table (scatter-free: TPU
+    # scatters serialize)
     L = state.L
     obs = jnp.where(state.kf_kp_valid, state.kf_obs_point, -1)
-    cnt = jnp.zeros((L + 1,), jnp.int32).at[
-        jnp.where(obs >= 0, obs, L).reshape(-1)
-    ].add(1)[:L]
+    cnt = segment_sum_sorted(
+        jnp.ones((obs.size,), jnp.float32), obs.reshape(-1), L
+    ).astype(jnp.int32)
     age = current_kf_count - jnp.maximum(state.pt_first_kf, 0)
     bad = state.pt_valid & (
         (ratio < min_found_ratio) | ((age >= 3) & (cnt <= 2))
@@ -422,13 +425,15 @@ def cull_keyframes(state: MapState, keep_kf, cfg: SlamConfig):
     loop over local keyframes)."""
     K, N = state.kf_obs_point.shape
     L = state.L
+    from orb_slam2_aruco_tpu.optim.segsum import segment_sum_sorted
+
     obs = jnp.where(
         state.kf_kp_valid & state.kf_valid[:, None], state.kf_obs_point, -1
     )
-    # observers per point
-    cnt = jnp.zeros((L + 1,), jnp.int32).at[
-        jnp.where(obs >= 0, obs, L).reshape(-1)
-    ].add(1)[:L]
+    # observers per point (scatter-free)
+    cnt = segment_sum_sorted(
+        jnp.ones((obs.size,), jnp.float32), obs.reshape(-1), L
+    ).astype(jnp.int32)
     has_pt = obs >= 0
     redundant = has_pt & (cnt[jnp.clip(obs, 0, L - 1)] >= 4)  # self + 3 others
     n_pts = jnp.sum(has_pt.astype(jnp.float32), axis=1)
@@ -702,3 +707,43 @@ def fuse_duplicates(state: MapState, kf, cam: Camera, cfg: SlamConfig):
         pt_visible=state.pt_visible + add_vis,
     )
     return state, jnp.sum(has_tgt.astype(jnp.int32))
+
+
+# ---------------------------------------------------------------------------
+# point statistics maintenance
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def update_point_stats(state: MapState, cfg: SlamConfig):
+    """Refresh per-point viewing normals and scale-invariance bands from the
+    current observation table (MapPoint::UpdateNormalAndDepth, reference
+    src/MapPoint.cc:359): normal = mean unit direction from observing keyframe
+    centers; max_dist from the anchor observation's octave. The
+    representative descriptor stays the creation-time one — the reference's
+    min-median-Hamming selection (ComputeDistinctiveDescriptors,
+    MapPoint.cc:271) is approximated by that anchor choice."""
+    from orb_slam2_aruco_tpu.optim.segsum import segment_sum_sorted
+
+    K, N = state.kf_obs_point.shape
+    L = state.L
+    obs = jnp.where(
+        state.kf_kp_valid & state.kf_valid[:, None], state.kf_obs_point, -1
+    ).reshape(-1)
+    kf_of = jnp.broadcast_to(jnp.arange(K)[:, None], (K, N)).reshape(-1)
+    # camera centers
+    Rwc = jnp.swapaxes(state.kf_Rcw, -1, -2)
+    centers = -jnp.einsum("kij,kj->ki", Rwc, state.kf_tcw)     # [K, 3]
+    pt_of_obs = jnp.clip(obs, 0, L - 1)
+    d = state.pt_xyz[pt_of_obs] - centers[kf_of]               # [K*N, 3]
+    d = d / jnp.maximum(jnp.linalg.norm(d, axis=-1, keepdims=True), 1e-9)
+    d = jnp.where((obs >= 0)[:, None], d, 0.0)
+    sum_d = segment_sum_sorted(d, obs, L)
+    cnt = segment_sum_sorted((obs >= 0).astype(jnp.float32), obs, L)
+    normal = sum_d / jnp.maximum(
+        jnp.linalg.norm(sum_d, axis=-1, keepdims=True), 1e-9
+    )
+    has = cnt > 0
+    normal = jnp.where(has[:, None] & state.pt_valid[:, None], normal,
+                       state.pt_normal)
+    return state._replace(pt_normal=normal)

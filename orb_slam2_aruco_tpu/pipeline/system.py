@@ -262,6 +262,7 @@ class SlamSystem:
         self.map, n_fused = mapping.fuse_duplicates(
             self.map, jnp.asarray(int(k)), self.cam, cfg
         )
+        self.map = mapping.update_point_stats(self.map, cfg)
         # marker plane measurement + possible one-shot scale correction
         self.map, s_corr = mapping.aruco_plane_update(
             self.map, jnp.asarray(int(k)), self.cam, cfg

@@ -19,13 +19,19 @@ def incidence_matrix(state: MapState, dtype=jnp.bfloat16):
     """[K, L] 1.0 where keyframe k observes point l."""
     K, N = state.kf_obs_point.shape
     L = state.L
+    from orb_slam2_aruco_tpu.optim.segsum import segment_sum_sorted
+
     obs = jnp.where(state.kf_kp_valid, state.kf_obs_point, -1)
-    obs_safe = jnp.clip(obs, 0, L - 1)
-    B = jnp.zeros((K, L), dtype=jnp.float32)
     kf_idx = jnp.broadcast_to(jnp.arange(K)[:, None], (K, N))
-    B = B.at[kf_idx.reshape(-1), obs_safe.reshape(-1)].max(
-        (obs.reshape(-1) >= 0).astype(jnp.float32)
+    ids = jnp.where(
+        obs.reshape(-1) >= 0,
+        kf_idx.reshape(-1) * L + jnp.clip(obs.reshape(-1), 0, L - 1),
+        K * L,
     )
+    cntKL = segment_sum_sorted(
+        jnp.ones((K * N,), jnp.float32), ids, K * L
+    ).reshape(K, L)
+    B = jnp.minimum(cntKL, 1.0)
     B = B * state.pt_valid[None, :].astype(jnp.float32)
     B = B * state.kf_valid[:, None].astype(jnp.float32)
     return B.astype(dtype)

@@ -152,3 +152,20 @@ def test_native_quadfind_parity():
     )
     found = {int(i) for i in np.asarray(det.ids) if i >= 0}
     assert found == {3, 17, 42, 99}, found
+
+
+def test_detect_downsampled():
+    """Half-resolution quad proposal must find the same markers with
+    near-identical (refined) corners."""
+    world, img, Rcw, tcw = _render_frontal()
+    det = detector.detect_markers(jnp.asarray(img), "ARUCO", max_quads=32,
+                                  min_area=80.0, downsample=2)
+    found = {int(i) for i in np.asarray(det.ids) if i >= 0}
+    assert found == {3, 17, 42, 99}, found
+    ids = np.asarray(det.ids)
+    corners = np.asarray(det.corners)
+    for spec in world.markers:
+        k = np.nonzero(ids == spec.marker_id)[0]
+        uv_gt = _project(CAM, Rcw, tcw, world.marker_corners_world(spec))
+        err = np.linalg.norm(corners[k[0]] - uv_gt, axis=-1)
+        assert err.max() < 1.2, (spec.marker_id, err)
