@@ -31,6 +31,9 @@ def main():
         width=960, height=540,
     )
     cfg = SlamConfig().replace(camera=camc)
+    # production detector setting at 960x540: quad proposal at half
+    # resolution (decode + subpixel corner refinement stay full-res)
+    cfg = cfg.replace(aruco=cfg.aruco.__class__(detect_downsample=2))
 
     world = synthetic.build_world(
         [3, 17, 42, 99, 7, 23, 55, 88], px_per_m=500.0, spacing=0.6,

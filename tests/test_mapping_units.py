@@ -1,0 +1,130 @@
+"""Unit tests for mapping maintenance: fusion, KF culling, point stats, viz."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from orb_slam2_aruco_tpu.config import SlamConfig
+from orb_slam2_aruco_tpu.geometry import camera as cam_mod
+from orb_slam2_aruco_tpu.pipeline import mapping
+from orb_slam2_aruco_tpu.worldmap.state import empty_map
+
+
+def small_cfg():
+    cfg = SlamConfig()
+    return cfg.replace(
+        map=cfg.map.__class__(max_keyframes=8, max_points=64, max_markers=4),
+        orb=cfg.orb.__class__(num_features=32),
+    )
+
+
+def test_fuse_duplicates_merges_and_remaps(rng):
+    cfg = small_cfg()
+    cam = cam_mod.camera_from_config(cfg.camera)
+    state = empty_map(cfg)
+    desc = jnp.asarray(rng.integers(0, 2**32, (4, 8), dtype=np.uint32))
+    # point 0 (old) and point 1 (new duplicate at nearly same position, same
+    # descriptor); point 2 distinct
+    state = state._replace(
+        pt_xyz=state.pt_xyz.at[0].set(jnp.asarray([1.0, 2.0, 5.0]))
+        .at[1].set(jnp.asarray([1.004, 2.0, 5.0]))
+        .at[2].set(jnp.asarray([3.0, 1.0, 4.0])),
+        pt_valid=state.pt_valid.at[:3].set(True),
+        pt_desc=state.pt_desc.at[0].set(desc[0]).at[1].set(desc[0])
+        .at[2].set(desc[2]),
+        pt_first_kf=state.pt_first_kf.at[0].set(0).at[1].set(1).at[2].set(0),
+        pt_max_dist=state.pt_max_dist.at[:3].set(5.0),
+        kf_valid=state.kf_valid.at[:2].set(True),
+        kf_kp_valid=state.kf_kp_valid.at[1, :3].set(True),
+        kf_obs_point=state.kf_obs_point.at[1, 0].set(1).at[1, 1].set(2),
+    )
+    out, n = mapping.fuse_duplicates(state, jnp.asarray(1), cam, cfg)
+    assert int(n) == 1
+    assert not bool(out.pt_valid[1])      # duplicate dropped
+    assert bool(out.pt_valid[0]) and bool(out.pt_valid[2])
+    # observation remapped from slot 1 to slot 0
+    assert int(out.kf_obs_point[1, 0]) == 0
+    assert int(out.kf_obs_point[1, 1]) == 2
+
+
+def test_cull_keyframes_redundancy_and_marker_protection(rng):
+    cfg = small_cfg()
+    state = empty_map(cfg)
+    N = cfg.orb.num_features
+    n_pts = 20
+    # 5 KFs all observing the same 20 points -> middle ones redundant
+    state = state._replace(
+        pt_valid=state.pt_valid.at[:n_pts].set(True),
+        kf_valid=state.kf_valid.at[:5].set(True),
+        kf_frame_id=state.kf_frame_id.at[:5].set(jnp.arange(5)),
+    )
+    for k in range(5):
+        state = state._replace(
+            kf_kp_valid=state.kf_kp_valid.at[k, :n_pts].set(True),
+            kf_obs_point=state.kf_obs_point.at[k, :n_pts].set(
+                jnp.arange(n_pts)
+            ),
+        )
+    out, victim = mapping.cull_keyframes(state, jnp.asarray(4), cfg)
+    v = int(victim)
+    assert v in (1, 2, 3)                 # not the first, not the current
+    assert not bool(out.kf_valid[v])
+    # marker protection: give KF 1 a rarely-observed marker -> survives
+    state2 = state._replace(
+        mk_valid=state.mk_valid.at[0].set(True),
+        kf_mk_slot=state.kf_mk_slot.at[1, 0].set(0),
+        kf_mk_valid=state.kf_mk_valid.at[1, 0].set(True),
+    )
+    out2, victim2 = mapping.cull_keyframes(state2, jnp.asarray(4), cfg)
+    assert int(victim2) != 1
+
+
+def test_update_point_stats_normals(rng):
+    cfg = small_cfg()
+    state = empty_map(cfg)
+    # one point at origin+z, observed by a KF at -z looking forward
+    state = state._replace(
+        pt_xyz=state.pt_xyz.at[0].set(jnp.asarray([0.0, 0.0, 2.0])),
+        pt_valid=state.pt_valid.at[0].set(True),
+        kf_valid=state.kf_valid.at[0].set(True),
+        kf_kp_valid=state.kf_kp_valid.at[0, 0].set(True),
+        kf_obs_point=state.kf_obs_point.at[0, 0].set(0),
+        kf_tcw=state.kf_tcw.at[0].set(jnp.asarray([0.0, 0.0, 1.0])),
+        # Rcw = I, tcw = (0,0,1) -> center at (0,0,-1); dir to point = +z
+    )
+    out = mapping.update_point_stats(state, cfg)
+    np.testing.assert_allclose(
+        np.asarray(out.pt_normal[0]), [0.0, 0.0, 1.0], atol=1e-5
+    )
+
+
+def test_viz_drawers(tmp_path, rng):
+    from orb_slam2_aruco_tpu.viz import framedrawer
+
+    cfg = small_cfg()
+    state = empty_map(cfg)
+    state = state._replace(
+        pt_xyz=state.pt_xyz.at[:5].set(
+            jnp.asarray(rng.normal(size=(5, 3)), dtype=jnp.float32)
+        ),
+        pt_valid=state.pt_valid.at[:5].set(True),
+        kf_valid=state.kf_valid.at[0].set(True),
+        mk_valid=state.mk_valid.at[0].set(True),
+    )
+    img = framedrawer.draw_map_topdown(state, size=128)
+    assert img.shape == (128, 128, 3)
+    gray = rng.uniform(0, 255, (60, 80)).astype(np.float32)
+    rgb, info = framedrawer.draw_frame(
+        gray,
+        np.asarray([[10.0, 10.0], [40.0, 30.0]]),
+        np.asarray([True, False]),
+        mk_corners=np.asarray([[[5, 5], [20, 5], [20, 20], [5, 20]]], np.float32),
+        mk_valid=np.asarray([True]),
+    )
+    assert rgb.shape == (60, 80, 3)
+    assert info["n_markers"] == 1
+    p = str(tmp_path / "x.png")
+    framedrawer.save_png(p, rgb)
+    import struct
+
+    with open(p, "rb") as f:
+        assert f.read(8) == b"\x89PNG\r\n\x1a\n"
