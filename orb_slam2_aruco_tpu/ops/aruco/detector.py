@@ -253,6 +253,7 @@ def detect_markers(
     cell_px: int = 8,
     cc_iters: int = 0,
     downsample: int = 1,
+    refine: bool = True,
 ) -> DetectedMarkers:
     """Full detection pipeline on a grayscale image [H, W] float32 (0..255).
 
@@ -294,9 +295,10 @@ def detect_markers(
     ).all(axis=-1)
     qvalid = qvalid & inside
     det = decode_quads(img, quads, qvalid, dict_name, cell_px=cell_px)
-    # subpixel corner refinement (CORNER_LINES mode)
-    refined = refine_corners_lines(img, det.corners)
-    det = det._replace(corners=refined)
+    if refine:
+        # subpixel corner refinement (CORNER_LINES mode); callers that
+        # compact detections first can refine just the survivors instead
+        det = det._replace(corners=refine_corners_lines(img, det.corners))
     # deduplicate: if two candidate blobs decode to the same id (border blob
     # and interior blob can both form quads), keep the first occurrence
     ids = det.ids

@@ -114,13 +114,15 @@ def make_frame(img, cam: Camera, cfg: SlamConfig) -> Frame:
         cell_px=acfg.warp_cell_px,
         cc_iters=acfg.cc_iters,
         downsample=acfg.detect_downsample,
+        refine=False,
     )
-    # compact the top-A valid detections
+    # compact the top-A valid detections, then refine only the survivors
+    # (the refinement gathers are the costly part)
     A = acfg.max_markers_per_frame
     score = jnp.where(det.valid, 1.0, 0.0)
     _, order = jax.lax.top_k(score, A)
     ids = det.ids[order]
-    corners = det.corners[order]
+    corners = detector.refine_corners_lines(gray, det.corners[order])
     valid = det.valid[order]
     corners_un = cam_mod.undistort_pixels(cam, corners)
     xn = cam_mod.pixels_to_normalized(cam, corners_un)
