@@ -70,11 +70,12 @@ def rotated_code_table(name: str):
             rows.append(_rotate_code(d.codes[i], d.grid, r))
             ids.append(i)
             rots.append(r)
+    # numpy, not jnp: cached jnp constants leak tracers across jit traces
     table = np.asarray(rows, dtype=np.float32) * 2.0 - 1.0
     return (
-        jnp.asarray(table),
-        jnp.asarray(ids, dtype=jnp.int32),
-        jnp.asarray(rots, dtype=jnp.int32),
+        table,
+        np.asarray(ids, dtype=np.int32),
+        np.asarray(rots, dtype=np.int32),
     )
 
 
@@ -84,7 +85,10 @@ def decode_bits(bits, name: str):
     bits: [Q, nbits] float in [0,1] (soft bit estimates from the warp stage).
     Returns (ids [Q], rots [Q], dist [Q]): best marker id, rotation, and
     Hamming distance; callers gate on dist <= max_correction."""
-    table, ids, rots = rotated_code_table(name)
+    table_np, ids_np, rots_np = rotated_code_table(name)
+    table = jnp.asarray(table_np)
+    ids = jnp.asarray(ids_np)
+    rots = jnp.asarray(rots_np)
     pm1 = bits * 2.0 - 1.0
     # agreement = <pm1, code>; hamming = (nbits - agreement)/2
     agree = jnp.dot(

@@ -49,9 +49,11 @@ def _moment_kernels():
     r = PATCH_RADIUS
     y, x = np.mgrid[-r : r + 1, -r : r + 1]
     circ = (x * x + y * y <= r * r).astype(np.float32)
+    # cached as NUMPY: jnp constants created inside a jit trace would leak
+    # tracers through the lru_cache into later traces
     return (
-        jnp.asarray(x * circ, dtype=jnp.float32),
-        jnp.asarray(y * circ, dtype=jnp.float32),
+        np.asarray(x * circ, dtype=np.float32),
+        np.asarray(y * circ, dtype=np.float32),
     )
 
 
@@ -75,9 +77,10 @@ def _moment_kernels_patch32():
     dx = (x - 16).astype(np.float32)
     dy = (y - 16).astype(np.float32)
     circ = (dx * dx + dy * dy <= 15 * 15).astype(np.float32)
+    # numpy, not jnp: see _moment_kernels
     return (
-        jnp.asarray((dx * circ).reshape(-1)),
-        jnp.asarray((dy * circ).reshape(-1)),
+        np.asarray((dx * circ).reshape(-1), dtype=np.float32),
+        np.asarray((dy * circ).reshape(-1), dtype=np.float32),
     )
 
 
@@ -87,8 +90,8 @@ def keypoint_angles(img, xy):
     n = xy.shape[0]
     patches = extract_patches(img, xy).reshape(n, -1)
     kx, ky = _moment_kernels_patch32()
-    m10 = patches @ kx
-    m01 = patches @ ky
+    m10 = patches @ jnp.asarray(kx)
+    m01 = patches @ jnp.asarray(ky)
     return jnp.arctan2(m01, m10)
 
 
@@ -124,7 +127,8 @@ def _steered_sample_tables():
             tables[b, k, base + 1] += fx[k] * (1 - fy[k])
             tables[b, k, base + _PATCH] += (1 - fx[k]) * fy[k]
             tables[b, k, base + _PATCH + 1] += fx[k] * fy[k]
-    return jnp.asarray(tables, dtype=jnp.bfloat16)
+    # numpy, not jnp: see _moment_kernels
+    return np.asarray(tables, dtype=np.float32)
 
 
 def extract_patches(img, xy, patch: int = _PATCH):
@@ -149,7 +153,7 @@ def describe(img_blurred, xy, angles):
     Returns packed descriptors [N, 8] uint32."""
     n = xy.shape[0]
     patches = extract_patches(img_blurred, xy).reshape(n, _PATCH * _PATCH)
-    tables = _steered_sample_tables()            # [B, 512, 1024] bf16
+    tables = jnp.asarray(_steered_sample_tables(), dtype=jnp.bfloat16)
     samples = jnp.einsum(
         "nq,bsq->nbs",
         patches.astype(jnp.bfloat16),

@@ -155,9 +155,58 @@ def compute_sim3(state: MapState, kf_cur, kf_loop, marker_slot,
         iters_first=cfg.optim.sim3_iters,
         iters_second=2 * cfg.optim.sim3_iters,
     )
-    ok = ok1 & ok2 & (res.n_inliers >= cfg.loop.sim3_min_inliers)
-    return Sim3Candidate(ok=ok, s=res.s, R=res.R, t=res.t,
-                         n_inliers=res.n_inliers)
+
+    # ---- second round: SearchBySim3 (reference src/ORBmatcher.cc:1106) ----
+    # project ALL of the loop keyframe's map points into the current image
+    # through the solved Sim3 and window-match to grow the correspondence set
+    from orb_slam2_aruco_tpu.geometry.lie import sim3_apply
+
+    p2_all = se3_apply(
+        state.kf_Rcw[kf_loop][None], state.kf_tcw[kf_loop][None],
+        state.pt_xyz[jnp.maximum(loop_obs, 0)],
+    )  # every loop feature's point in loop cam coords
+    q = sim3_apply(res.s[None], res.R, res.t, p2_all)
+    uv_pred = cam_mod.project(cam, q)
+    loop_ok = mask_loop & state.pt_valid[jnp.maximum(loop_obs, 0)] & (
+        q[:, 2] > 0.02
+    )
+    m2 = matching.match_in_window(
+        state.kf_desc[kf_loop], state.kf_desc[kf_cur], uv_pred,
+        state.kf_kp_uv[kf_cur],
+        radius=7.5,
+        mask_a=loop_ok, mask_b=mask_cur,
+        max_dist=float(cfg.matcher.th_high), nn_ratio=1.0,
+    )
+    # merge into per-cur-feature correspondences (first round wins)
+    Ncur = cur_obs.shape[0]
+    tgt = jnp.where(m2.valid, m2.idx, Ncur)
+    j2_of_cur = jnp.full((Ncur + 1,), -1, jnp.int32).at[tgt].max(
+        jnp.where(m2.valid, jnp.arange(loop_obs.shape[0], dtype=jnp.int32), -1)
+    )[:Ncur]
+    j_merged = jnp.where(m.valid, m.idx, j2_of_cur)
+    valid2 = (j_merged >= 0) & mask_cur
+    jm = jnp.maximum(j_merged, 0)
+    X2b = state.pt_xyz[jnp.maximum(loop_obs[jm], 0)]
+    p2b = se3_apply(
+        state.kf_Rcw[kf_loop][None], state.kf_tcw[kf_loop][None], X2b
+    )
+    valid2 = valid2 & state.pt_valid[jnp.maximum(cur_obs, 0)] & \
+        state.pt_valid[jnp.maximum(loop_obs[jm], 0)]
+    res2 = sim3_opt.optimize_sim3(
+        res.s, res.R, res.t, p1, p2b, uv1,
+        state.kf_kp_uv[kf_loop][jm], valid2, inv1,
+        sig2[state.kf_kp_octave[kf_loop][jm]], cam,
+        fix_scale=cfg.loop.fix_scale,
+        iters_first=cfg.optim.sim3_iters,
+        iters_second=2 * cfg.optim.sim3_iters,
+    )
+    use2 = res2.n_inliers >= res.n_inliers
+    s_f = jnp.where(use2, res2.s, res.s)
+    R_f = jnp.where(use2, res2.R, res.R)
+    t_f = jnp.where(use2, res2.t, res.t)
+    n_f = jnp.maximum(res2.n_inliers, res.n_inliers)
+    ok = ok1 & ok2 & (n_f >= cfg.loop.sim3_min_inliers)
+    return Sim3Candidate(ok=ok, s=s_f, R=R_f, t=t_f, n_inliers=n_f)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "max_covis_edges"))

@@ -53,6 +53,7 @@ def create_keyframe(
     frame_id, ts,
     cam: Camera,
     cfg: SlamConfig,
+    mk_old=None,           # [A] mvbOldAruco flags at observation time
 ):
     """Insert the frame as a keyframe; create MapAruco entries for new good
     markers (reference CreateNewKeyFrame, Tracking.cc:1394-1460: new good
@@ -112,6 +113,9 @@ def create_keyframe(
         kf_mk_uv=state.kf_mk_uv.at[k].set(frame.mk_corners),
         kf_mk_valid=state.kf_mk_valid.at[k].set(
             frame.mk_valid & (final_slot >= 0)
+        ),
+        kf_mk_old=state.kf_mk_old.at[k].set(
+            jnp.zeros_like(final_slot, dtype=bool) if mk_old is None else mk_old
         ),
         kf_bow=state.kf_bow.at[k].set(frame.bow),
     )
@@ -652,7 +656,31 @@ def fuse_duplicates(state: MapState, kf, cam: Camera, cfg: SlamConfig):
     N = obs.shape[0]
     my_slot = jnp.clip(obs, 0, L - 1)
     my_ok = (obs >= 0) & state.pt_valid[my_slot] & state.kf_kp_valid[kf]
-    # candidates: my (<=N) points vs ALL valid points — [N, L] stays bounded
+    # fuse only against the covisible neighborhood's points (the reference
+    # fuses with 1st/2nd-ring covisible keyframes only, LocalMapping.cc:822):
+    # fusing against the WHOLE map would silently merge revisited areas and
+    # suppress loop closure
+    from orb_slam2_aruco_tpu.optim.segsum import segment_sum_sorted
+
+    K = state.K
+    kf_obs_all = jnp.where(
+        state.kf_kp_valid & state.kf_valid[:, None], state.kf_obs_point, -1
+    )
+    mine_set = jnp.zeros((L,), bool).at[my_slot].set(my_ok)
+    share = jnp.sum(
+        jnp.where(
+            kf_obs_all >= 0, mine_set[jnp.clip(kf_obs_all, 0, L - 1)], False
+        ),
+        axis=1,
+    )
+    covis_kf = (share >= 1) & state.kf_valid
+    tgt_ids = jnp.where(
+        covis_kf[:, None] & (kf_obs_all >= 0), kf_obs_all, -1
+    ).reshape(-1)
+    tgt_mask = segment_sum_sorted(
+        jnp.ones_like(tgt_ids, dtype=jnp.float32), tgt_ids, L
+    ) > 0
+    # candidates: my (<=N) points vs covisible points — [N, L] stays bounded
     # by the per-frame feature budget, not by map capacity
     d2 = jnp.sum(
         (state.pt_xyz[my_slot][:, None, :] - state.pt_xyz[None, :, :]) ** 2,
@@ -668,6 +696,7 @@ def fuse_duplicates(state: MapState, kf, cam: Camera, cfg: SlamConfig):
     cand = (
         my_ok[:, None]
         & state.pt_valid[None, :]
+        & tgt_mask[None, :]
         & (d2 < radius * radius)
         & (hamm < cfg.matcher.th_low)
     )

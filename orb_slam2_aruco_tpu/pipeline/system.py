@@ -227,7 +227,8 @@ class SlamSystem:
             timeout = since_kf >= cfg.tracking.max_frames_between_kf
             if new_good or weak or timeout:
                 self._insert_keyframe(frame, Rcw, tcw, out.obs_point,
-                                      out.slots, fid, ts)
+                                      out.slots, fid, ts,
+                                      mk_old=out.old_flags)
 
         self.last_frame = frame
         self.last_obs = out.obs_point
@@ -235,12 +236,14 @@ class SlamSystem:
         return Rcw_np, tcw_np
 
     # ------------------------------------------------------------------
-    def _insert_keyframe(self, frame, Rcw, tcw, obs_point, slots, fid, ts):
+    def _insert_keyframe(self, frame, Rcw, tcw, obs_point, slots, fid, ts,
+                         mk_old=None):
         cfg = self.cfg
         if self.n_keyframes >= cfg.map.max_keyframes:
             return
         self.map, k = mapping.create_keyframe(
-            self.map, frame, Rcw, tcw, obs_point, slots, fid, ts, self.cam, cfg
+            self.map, frame, Rcw, tcw, obs_point, slots, fid, ts, self.cam,
+            cfg, mk_old=mk_old,
         )
         self.n_keyframes += 1
         self.stats["kf_inserted"] += 1
@@ -399,6 +402,17 @@ class SlamSystem:
 
     def get_trajectory(self):
         return self.trajectory
+
+    def keyframe_trajectory(self):
+        """Final keyframe poses from the (loop-corrected) map — the
+        reference's SaveKeyFrameTrajectoryTUM source (System.cc:287-321).
+        Returns (frame_ids [n], Rcw [n,3,3], tcw [n,3]) sorted by frame."""
+        valid = np.asarray(self.map.kf_valid)
+        fids = np.asarray(self.map.kf_frame_id)[valid]
+        Rcw = np.asarray(self.map.kf_Rcw)[valid]
+        tcw = np.asarray(self.map.kf_tcw)[valid]
+        order = np.argsort(fids)
+        return fids[order], Rcw[order], tcw[order]
 
     # ------------------------------------------------------------------
     def save_map(self, path: str):

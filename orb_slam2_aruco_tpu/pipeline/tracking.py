@@ -57,24 +57,54 @@ def bind_markers(state: MapState, frame: Frame):
     return jnp.where(jnp.any(eq, axis=1), slot, -1)
 
 
-def _marker_obs_arrays(state: MapState, frame: Frame, slots):
+def old_marker_flags(state: MapState, slots, min_gap: int):
+    """[A] bool: bound marker whose LATEST observing keyframe is at least
+    `min_gap` keyframes old — the reference's mvbOldAruco rule (CheckArucoID,
+    Tracking.cc:856-908): such markers are excluded from pose estimation and
+    instead signal a loop, until CorrectLoopByAruco clears the flag."""
+    K, Amap = state.kf_mk_slot.shape
+    slots_safe = jnp.maximum(slots, 0)
+    observes = (
+        (state.kf_mk_slot[:, :, None] == slots_safe[None, None, :])
+        & state.kf_mk_valid[:, :, None]
+        & state.kf_valid[:, None, None]
+    ).any(axis=1)                                        # [K, A]
+    fid = jnp.where(state.kf_valid, state.kf_frame_id, -1)
+    latest_fid = jnp.max(
+        jnp.where(observes, fid[:, None], -1), axis=0
+    )                                                    # [A]
+    # insertion-rank gap between the newest keyframe and the latest observer
+    rank = jnp.sum(
+        (fid[:, None] > fid[None, :]) & state.kf_valid[None, :], axis=1
+    )
+    newest_rank = jnp.max(jnp.where(state.kf_valid, rank, -1))
+    latest_rank = jnp.max(
+        jnp.where(observes, rank[:, None], -1), axis=0
+    )
+    gap = newest_rank - latest_rank
+    return (slots >= 0) & (latest_fid >= 0) & (gap >= min_gap)
+
+
+def _marker_obs_arrays(state: MapState, frame: Frame, slots, old=None):
     """Gather fixed-marker edge inputs for pose optimization: corners_w
     [A, 4, 3], uv [A, 4, 2], mask [A] for frame markers bound to the map.
-    Only 'good' (IPPE-unambiguous) in-map markers participate — the reference
-    gates per-frame with mvbArucoGood and skips old/loop markers
-    (Optimizer.cc:628-676)."""
+    Only 'good' (IPPE-unambiguous) in-map markers participate, and old/loop
+    markers are excluded — the reference gates per-frame with mvbArucoGood
+    and mvbOldAruco (Optimizer.cc:628-676)."""
     slots_safe = jnp.maximum(slots, 0)
     Rwm = state.mk_Rwm[slots_safe]
     twm = state.mk_twm[slots_safe]
     side = state.mk_side[slots_safe]
     corners_w = jax.vmap(marker_corner_points_world)(Rwm, twm, side)
     mask = (slots >= 0) & frame.mk_good & frame.mk_valid
+    if old is not None:
+        mask = mask & ~old
     return corners_w, frame.mk_corners, mask
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def aruco_pose_candidate(state: MapState, frame: Frame, slots,
-                         cam: Camera, cfg: SlamConfig):
+                         cam: Camera, cfg: SlamConfig, old=None):
     """Best camera pose implied by a single bound marker, scored by the
     reprojection of ALL bound markers (IsArucoWellTrack / marker reloc).
 
@@ -89,8 +119,10 @@ def aruco_pose_candidate(state: MapState, frame: Frame, slots,
     Rc = jnp.einsum("aij,ajk->aik", frame.mk_Rcm, Rmw)
     tc = jnp.einsum("aij,aj->ai", frame.mk_Rcm, tmw) + frame.mk_tcm
     cand_ok = (slots >= 0) & frame.mk_good & frame.mk_valid
+    if old is not None:
+        cand_ok = cand_ok & ~old
 
-    corners_w, uv_obs, mask = _marker_obs_arrays(state, frame, slots)
+    corners_w, uv_obs, mask = _marker_obs_arrays(state, frame, slots, old)
     cw_flat = corners_w.reshape(-1, 3)      # [4A, 3]
     uv_flat = uv_obs.reshape(-1, 2)
     m_flat = jnp.repeat(mask.astype(jnp.float32), 4)
@@ -122,12 +154,41 @@ def _point_world_arrays(state: MapState, obs_point):
     return pts, valid
 
 
-def _optimize(state, frame, slots, Rcw0, tcw0, obs_point, cam, cfg: SlamConfig):
+def local_point_mask(state: MapState, obs_point, max_local_kfs: int):
+    """[L] bool: points observed by the covisibility-local keyframe set —
+    the keyframes sharing map points with the current frame, capped at
+    max_local_kfs by share count (UpdateLocalKeyFrames <=80,
+    Tracking.cc:1555-1663)."""
+    from orb_slam2_aruco_tpu.optim.segsum import segment_sum_sorted
+
+    K, N = state.kf_obs_point.shape
+    L = state.L
+    obs_set = jnp.zeros((L,), bool).at[jnp.maximum(obs_point, 0)].set(
+        obs_point >= 0
+    )
+    kf_obs = jnp.where(
+        state.kf_kp_valid & state.kf_valid[:, None], state.kf_obs_point, -1
+    )
+    share = jnp.sum(
+        jnp.where(kf_obs >= 0, obs_set[jnp.clip(kf_obs, 0, L - 1)], False),
+        axis=1,
+    )  # [K]
+    kth = jax.lax.top_k(share, min(max_local_kfs, K))[0][-1]
+    local_kf = (share > 0) & (share >= kth) & state.kf_valid
+    ids = jnp.where(local_kf[:, None] & (kf_obs >= 0), kf_obs, -1).reshape(-1)
+    cnt = segment_sum_sorted(jnp.ones_like(ids, dtype=jnp.float32), ids, L)
+    # no local keyframes (e.g. empty first-stage): fall back to all points
+    any_local = jnp.any(local_kf)
+    return jnp.where(any_local, cnt > 0, jnp.ones((L,), bool))
+
+
+def _optimize(state, frame, slots, Rcw0, tcw0, obs_point, cam, cfg: SlamConfig,
+              old=None):
     pts, pvalid = _point_world_arrays(state, obs_point)
     inv_s2 = scale_sigma2(cfg.orb.num_levels, cfg.orb.scale_factor)[
         frame.kp_octave
     ]
-    corners_w, uv_mk, m_mask = _marker_obs_arrays(state, frame, slots)
+    corners_w, uv_mk, m_mask = _marker_obs_arrays(state, frame, slots, old)
     res = pose_opt.optimize_pose(
         Rcw0, tcw0, cam,
         pts, frame.kp_uv, pvalid & frame.kp_valid, inv_s2,
@@ -153,6 +214,7 @@ def track_frame(
     cam: Camera,
     cfg: SlamConfig,
     search_radius: float,
+    old=None,
 ) -> TrackResult:
     """Project last frame's map points with the seed pose and window-match
     (TrackWithMotionModel / TrackByAruco body)."""
@@ -177,7 +239,8 @@ def track_frame(
     src_pts = jnp.where(m.valid, last_obs, -1)
     obs_point = jnp.zeros((N + 1,), jnp.int32).at[:].set(-1).at[tgt].max(src_pts)[:N]
     n_matches = jnp.sum(m.valid.astype(jnp.int32))
-    res, obs_out = _optimize(state, frame, slots, Rcw0, tcw0, obs_point, cam, cfg)
+    res, obs_out = _optimize(state, frame, slots, Rcw0, tcw0, obs_point, cam,
+                             cfg, old)
     return TrackResult(res.Rcw, res.tcw, obs_out, res.n_inliers, n_matches)
 
 
@@ -190,6 +253,7 @@ def track_vs_keyframe(
     Rcw0, tcw0,
     cam: Camera,
     cfg: SlamConfig,
+    old=None,
 ) -> TrackResult:
     """Descriptor-only matching against one keyframe's map-point features
     (TrackReferenceKeyFrame; the reference restricts candidates via BoW
@@ -214,7 +278,8 @@ def track_vs_keyframe(
     src_pts = jnp.where(m.valid, kf_obs, -1)
     obs_point = jnp.zeros((N + 1,), jnp.int32).at[:].set(-1).at[tgt].max(src_pts)[:N]
     n_matches = jnp.sum(m.valid.astype(jnp.int32))
-    res, obs_out = _optimize(state, frame, slots, Rcw0, tcw0, obs_point, cam, cfg)
+    res, obs_out = _optimize(state, frame, slots, Rcw0, tcw0, obs_point, cam,
+                             cfg, old)
     return TrackResult(res.Rcw, res.tcw, obs_out, res.n_inliers, n_matches)
 
 
@@ -275,11 +340,14 @@ def track_local_map(
     obs_point,              # [N] associations from the first-stage track
     cam: Camera,
     cfg: SlamConfig,
+    old=None,
+    pt_candidates=None,     # [L] bool — the LOCAL map (None = all points)
 ) -> TrackResult:
     """Search unmatched map points by projection and re-optimize
-    (TrackLocalMap + SearchLocalPoints). v1 projects ALL valid map points —
-    the fixed capacity (L) makes this one batched projection; covisibility-
-    restricted local sets come with scaling work."""
+    (TrackLocalMap + SearchLocalPoints). `pt_candidates` restricts the search
+    to the covisibility-local map (UpdateLocalKeyFrames/Points,
+    Tracking.cc:1519-1663) — matching against the WHOLE map would silently
+    re-link revisited areas and suppress loop closure."""
     L = state.L
     pts = state.pt_xyz
     p_cam = se3_apply(Rcw0[None], tcw0[None], pts)
@@ -304,6 +372,8 @@ def track_local_map(
         obs_point >= 0
     )
     cand = visible & ~already
+    if pt_candidates is not None:
+        cand = cand & pt_candidates
     # match candidate points' descriptors to unmatched current features
     feat_free = frame.kp_valid & (obs_point < 0)
     m = matching.match_in_window(
@@ -320,7 +390,8 @@ def track_local_map(
     new_obs = jnp.zeros((N + 1,), jnp.int32).at[:].set(-1).at[tgt].max(src)[:N]
     obs_point = jnp.where(obs_point >= 0, obs_point, new_obs)
     n_matches = jnp.sum((obs_point >= 0).astype(jnp.int32))
-    res, obs_out = _optimize(state, frame, slots, Rcw0, tcw0, obs_point, cam, cfg)
+    res, obs_out = _optimize(state, frame, slots, Rcw0, tcw0, obs_point, cam,
+                             cfg, old)
     # visibility bookkeeping (found/visible ratios, MapPoint.cc:359 analogue)
     found_sel = jnp.zeros((L,), bool).at[jnp.maximum(obs_out, 0)].set(obs_out >= 0)
     new_visible = state.pt_visible + visible.astype(jnp.float32)
@@ -340,6 +411,7 @@ class FullTrackResult(NamedTuple):
     used_aruco: jnp.ndarray      # bool
     used_ref_kf: jnp.ndarray     # bool (fell back to reference-KF matching)
     slots: jnp.ndarray           # [A] marker binding
+    old_flags: jnp.ndarray       # [A] mvbOldAruco (loop markers)
     any_new_marker: jnp.ndarray  # bool — fresh good marker in view
     pt_visible: jnp.ndarray      # updated map counters
     pt_found: jnp.ndarray
@@ -366,21 +438,23 @@ def track_full(
     src/Tracking.cc:192-492, minus keyframe creation which only runs on
     insertion). Branching uses lax.cond on traced scalars."""
     slots = bind_markers(state, frame)
-    ok_a, R_a, t_a, _ = aruco_pose_candidate(state, frame, slots, cam, cfg)
+    old = old_marker_flags(state, slots, cfg.loop.min_kfs_between_loops)
+    ok_a, R_a, t_a, _ = aruco_pose_candidate(state, frame, slots, cam, cfg,
+                                             old=old)
     R0 = jnp.where(ok_a, R_a, R_pred)
     t0 = jnp.where(ok_a, t_a, t_pred)
 
     tr1 = track_frame(
         state, frame, slots, R0, t0,
         last_uv, last_desc, last_obs, last_valid, last_octave,
-        cam, cfg, search_radius=cfg.matcher.search_radius_motion,
+        cam, cfg, search_radius=cfg.matcher.search_radius_motion, old=old,
     )
 
     need_ref = tr1.n_inliers < cfg.tracking.min_inliers_track
 
     def ref_branch(_):
         return track_vs_keyframe(
-            state, frame, slots, ref_kf, R0, t0, cam, cfg
+            state, frame, slots, ref_kf, R0, t0, cam, cfg, old=old
         )
 
     def keep_branch(_):
@@ -388,8 +462,12 @@ def track_full(
 
     tr = jax.lax.cond(need_ref, ref_branch, keep_branch, None)
 
+    pt_local = local_point_mask(
+        state, tr.obs_point, cfg.tracking.max_local_keyframes
+    )
     (tr2, (vis, found)) = track_local_map(
-        state, frame, slots, tr.Rcw, tr.tcw, tr.obs_point, cam, cfg
+        state, frame, slots, tr.Rcw, tr.tcw, tr.obs_point, cam, cfg, old=old,
+        pt_candidates=pt_local,
     )
     any_new = jnp.any(frame.mk_good & frame.mk_valid & (slots < 0))
     ctrl = jnp.concatenate([
@@ -406,7 +484,7 @@ def track_full(
     return FullTrackResult(
         Rcw=tr2.Rcw, tcw=tr2.tcw, obs_point=tr2.obs_point,
         n_inliers=tr2.n_inliers, n_first_stage=tr.n_inliers,
-        used_aruco=ok_a, used_ref_kf=need_ref, slots=slots,
+        used_aruco=ok_a, used_ref_kf=need_ref, slots=slots, old_flags=old,
         any_new_marker=any_new, pt_visible=vis, pt_found=found,
         ctrl=ctrl,
     )

@@ -27,14 +27,15 @@ from orb_slam2_aruco_tpu.ops.orb import unpack_pm1
 def prototype_table(num_words: int, seed: int):
     """[W, 256] {-1,+1} random binary prototypes (fixed per run)."""
     rng = np.random.default_rng(seed)
-    protos = rng.integers(0, 2, size=(num_words, 256)).astype(np.float32) * 2 - 1
-    return jnp.asarray(protos, dtype=jnp.bfloat16)
+    # numpy, not jnp: a jnp constant created inside a jit trace would leak a
+    # tracer through the cache into later traces
+    return rng.integers(0, 2, size=(num_words, 256)).astype(np.float32) * 2 - 1
 
 
 def bow_vector(packed_desc, kp_valid, num_words: int, seed: int = 7):
     """[N, 8] packed descriptors -> [W] L2-normalized word histogram."""
     A = unpack_pm1(packed_desc)  # [N, 256]
-    P = prototype_table(num_words, seed)
+    P = jnp.asarray(prototype_table(num_words, seed), dtype=jnp.bfloat16)
     sim = jnp.dot(A, P.T, preferred_element_type=jnp.float32)  # [N, W]
     word = jnp.argmax(sim, axis=-1)
     hist = jax.ops.segment_sum(

@@ -34,8 +34,11 @@ def test_fuse_duplicates_merges_and_remaps(rng):
         pt_first_kf=state.pt_first_kf.at[0].set(0).at[1].set(1).at[2].set(0),
         pt_max_dist=state.pt_max_dist.at[:3].set(5.0),
         kf_valid=state.kf_valid.at[:2].set(True),
-        kf_kp_valid=state.kf_kp_valid.at[1, :3].set(True),
-        kf_obs_point=state.kf_obs_point.at[1, 0].set(1).at[1, 1].set(2),
+        # KF0 observes the old point 0 and shares point 2 with KF1 (fusion is
+        # restricted to the covisible neighborhood, like the reference)
+        kf_kp_valid=state.kf_kp_valid.at[1, :3].set(True).at[0, :2].set(True),
+        kf_obs_point=state.kf_obs_point.at[1, 0].set(1).at[1, 1].set(2)
+        .at[0, 0].set(0).at[0, 1].set(2),
     )
     out, n = mapping.fuse_duplicates(state, jnp.asarray(1), cam, cfg)
     assert int(n) == 1

@@ -162,3 +162,52 @@ def test_save_load_map_and_localize(sequence, tmp_path):
             ok += 1
     assert ok >= len(imgs) - 2, ok
     assert slam2.n_keyframes == slam.n_keyframes  # localization adds no KFs
+
+
+def test_full_system_loop_closure():
+    """Drive the camera away from the start area and back: the marker-id loop
+    detector must fire through the full system and correct the map."""
+    cfg = small_config()
+    cfg = cfg.replace(
+        loop=cfg.loop.__class__(min_kfs_between_loops=6),
+        tracking=cfg.tracking.__class__(max_frames_between_kf=2),
+    )
+    world = synthetic.build_world(
+        [3, 17, 42, 99, 7, 23, 55, 88], px_per_m=700.0, spacing=0.45,
+        grid_cols=2,  # tall wall: 4 rows x 2 cols
+    )
+    # out-and-back sweep along the wall (marker rows come in and out of view)
+    n = 36
+    xs = np.concatenate([
+        np.linspace(0.2, 1.1, n // 2),       # away
+        np.linspace(1.1, 0.2, n // 2),       # back to start
+    ])
+    ys = np.concatenate([
+        np.linspace(0.2, 1.2, n // 2),
+        np.linspace(1.2, 0.2, n // 2),
+    ])
+    poses = [
+        synthetic.look_at_plane_pose((x, y), 1.2, pitch=0.03)
+        for x, y in zip(xs, ys)
+    ]
+    imgs = [synthetic.render_view(world, cfg.camera, R, t) for R, t in poses]
+    slam = SlamSystem(cfg)
+    for i, img in enumerate(imgs):
+        slam.track_monocular(img, ts=i / 30.0)
+    assert slam.state is TrackingState.OK
+    # the revisit must produce a loop closure (marker ids from the start are
+    # re-observed by a non-covisible late keyframe)
+    assert slam.stats["loops_closed"] >= 1, slam.stats
+    # evaluate the FINAL (loop-corrected) keyframe trajectory, like the
+    # reference's SaveKeyFrameTrajectoryTUM — live per-frame records are not
+    # retro-corrected by loop closure
+    fids, Rs, ts_ = slam.keyframe_trajectory()
+    est_c = trajectory.camera_centers(Rs, ts_)
+    assert np.all(np.isfinite(est_c))
+    gt_c = trajectory.camera_centers([poses[i][0] for i in fids],
+                                     [poses[i][1] for i in fids])
+    ate = trajectory.ate_rmse(est_c, gt_c, align=True, with_scale=False)
+    # the marker-free diagonal stretch genuinely drifts ~0.17 m in this
+    # scenario (monocular, 320x240); loop closure must keep it bounded —
+    # measured: 0.172 without loop closing, 0.160 with
+    assert ate < 0.25, ate
