@@ -75,7 +75,8 @@ def connected_components(binary, iters: int):
 
 
 def quad_candidates(binary, max_quads: int, min_area: float = 64.0,
-                    max_area_frac: float = 0.25, cc_iters: int = 0):
+                    max_area_frac: float = 0.25, cc_iters: int = 0,
+                    use_pallas_cc: bool = False):
     """Extract up to max_quads quadrilateral blob candidates.
 
     Returns (quads [K, 4, 2] in (x, y) float pixels, area [K], valid [K]).
@@ -92,7 +93,21 @@ def quad_candidates(binary, max_quads: int, min_area: float = 64.0,
         # a blob of diameter D is fully labeled after ~D iterations; markers
         # are bounded in screen size, so cap the propagation depth
         cc_iters = min(192, max(h, w) // 2)
-    labels2d = connected_components(binary, iters=cc_iters)
+    if use_pallas_cc:
+        from orb_slam2_aruco_tpu.ops.pallas_cc import cc_propagate_pallas
+
+        flat0 = (
+            jax.lax.broadcasted_iota(jnp.int32, (h, w), 0) * w
+            + jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+        )
+        labels0 = jnp.where(binary, flat0, h * w)
+        k_steps = 16
+        labels2d = cc_propagate_pallas(
+            labels0, passes=-(-cc_iters // k_steps), k_steps=k_steps,
+            tile=128,
+        )
+    else:
+        labels2d = connected_components(binary, iters=cc_iters)
     labels = labels2d.reshape(-1)
     flat_idx = jnp.arange(P, dtype=jnp.int32)
     xs = (flat_idx % w).astype(jnp.float32)
@@ -254,6 +269,7 @@ def detect_markers(
     cc_iters: int = 0,
     downsample: int = 1,
     refine: bool = True,
+    use_pallas_cc: bool = False,
 ) -> DetectedMarkers:
     """Full detection pipeline on a grayscale image [H, W] float32 (0..255).
 
@@ -277,12 +293,13 @@ def detect_markers(
         binary_s = blocks.sum(axis=(1, 3)) * 2 >= ds * ds
         quads, _, qvalid = quad_candidates(
             binary_s, max_quads, min_area=min_area / (ds * ds),
-            cc_iters=cc_iters,
+            cc_iters=cc_iters, use_pallas_cc=use_pallas_cc,
         )
         quads = quads * float(ds) + (ds - 1) / 2.0
     else:
         quads, _, qvalid = quad_candidates(
-            binary, max_quads, min_area=min_area, cc_iters=cc_iters
+            binary, max_quads, min_area=min_area, cc_iters=cc_iters,
+            use_pallas_cc=use_pallas_cc,
         )
     # reject border-touching quads: a partially visible marker can decode to
     # a DIFFERENT valid code (the reference detector likewise drops contours

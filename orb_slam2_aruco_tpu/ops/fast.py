@@ -38,12 +38,12 @@ class Keypoints(NamedTuple):
     valid: jnp.ndarray   # [N] bool
 
 
-def fast_score_map(img, threshold: float):
-    """FAST-9/16 corner score for every pixel.
+def _fast_scores(img, thresholds):
+    """FAST-9/16 corner scores for every pixel at MULTIPLE thresholds in one
+    pass (the 16 circle shifts are computed once).
 
-    Returns [H, W] float32: 0 for non-corners, else a contrast score
-    (sum of |I_c - I_p| - t over the strongest qualifying arc direction).
-    """
+    Returns a list of [H, W] float32 maps: 0 for non-corners, else a contrast
+    score (sum of max(|I_c - I_p| - t, 0) over the circle)."""
     h, w = img.shape
     # 16 shifted copies; roll is fine because the 3px border is masked out
     shifted = jnp.stack(
@@ -51,34 +51,34 @@ def fast_score_map(img, threshold: float):
         axis=0,
     )  # [16, H, W]
     d = shifted - img[None]
-    bright = d > threshold          # circle pixel brighter than center + t
-    dark = d < -threshold
-    # contiguous arc of >= 9: logical AND over a sliding window of 9 on the
-    # circular axis. unrolled log-style: acc[k] = all of window starting at k
+    yy = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    xx = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    border = (yy >= 3) & (yy < h - 3) & (xx >= 3) & (xx < w - 3)
+
     def arc9(mask):
-        acc = mask
-        # combine with shifts 1,2,4,8 -> window 9 = 1+2+4+(shift 8 window1)?
-        # simpler: window9 = AND of m[k..k+8]; build with doubling: w2=m&roll1,
-        # w4=w2&roll2(w2), w8=w4&roll4(w4), w9=w8&roll8(m)
-        w2 = acc & jnp.roll(acc, -1, axis=0)
+        # contiguous arc of >= 9 on the circular axis via doubling
+        w2 = mask & jnp.roll(mask, -1, axis=0)
         w4 = w2 & jnp.roll(w2, -2, axis=0)
         w8 = w4 & jnp.roll(w4, -4, axis=0)
         w9 = w8 & jnp.roll(mask, -8, axis=0)
         return jnp.any(w9, axis=0)
 
-    is_bright = arc9(bright)
-    is_dark = arc9(dark)
-    is_corner = is_bright | is_dark
-    # score: SAD of qualifying direction over the whole circle (cheap proxy
-    # for the OpenCV arc score; only used for ranking/NMS)
-    sb = jnp.sum(jnp.maximum(d - threshold, 0.0), axis=0)
-    sd = jnp.sum(jnp.maximum(-d - threshold, 0.0), axis=0)
-    score = jnp.where(is_bright, sb, 0.0) + jnp.where(is_dark, sd, 0.0)
-    # mask the border (circle radius 3)
-    yy = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
-    xx = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
-    border = (yy >= 3) & (yy < h - 3) & (xx >= 3) & (xx < w - 3)
-    return jnp.where(is_corner & border, score, 0.0)
+    outs = []
+    for t in thresholds:
+        bright = d > t
+        dark = d < -t
+        is_bright = arc9(bright)
+        is_dark = arc9(dark)
+        sb = jnp.sum(jnp.maximum(d - t, 0.0), axis=0)
+        sd = jnp.sum(jnp.maximum(-d - t, 0.0), axis=0)
+        score = jnp.where(is_bright, sb, 0.0) + jnp.where(is_dark, sd, 0.0)
+        outs.append(jnp.where((is_bright | is_dark) & border, score, 0.0))
+    return outs
+
+
+def fast_score_map(img, threshold: float):
+    """FAST-9/16 corner score for every pixel (single threshold)."""
+    return _fast_scores(img, [threshold])[0]
 
 
 def nms3x3(score):
@@ -106,8 +106,7 @@ def detect_level(
     top-k, then global top-max_kps.
     """
     h, w = img.shape
-    s_low = fast_score_map(img, threshold_low)
-    s_high = fast_score_map(img, threshold_high)
+    s_high, s_low = _fast_scores(img, [threshold_high, threshold_low])
     s = nms3x3(s_low)
     # large additive bonus: any high-threshold corner outranks every
     # low-threshold-only corner (reference prefers t=20 detections)

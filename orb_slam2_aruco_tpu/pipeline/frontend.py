@@ -115,6 +115,7 @@ def make_frame(img, cam: Camera, cfg: SlamConfig) -> Frame:
         cc_iters=acfg.cc_iters,
         downsample=acfg.detect_downsample,
         refine=False,
+        use_pallas_cc=acfg.use_pallas_cc,
     )
     # compact the top-A valid detections, then refine only the survivors
     # (the refinement gathers are the costly part)

@@ -376,6 +376,51 @@ def correct_loop(
     return state, out.chi2
 
 
+@functools.partial(jax.jit, static_argnames=())
+def covis_weight(state: MapState, kf_a, kf_b):
+    """Shared-point count between two keyframes (for host-side consistency
+    grouping)."""
+    W = covisibility_matrix(state)
+    return W[kf_a, kf_b]
+
+
+class ConsistencyTracker:
+    """Host-side 3-consecutive-consistency gate for BoW loop candidates
+    (reference DetectLoop consistency groups, src/LoopClosing.cc:260-319):
+    a candidate is accepted only after candidates consistent with it (same
+    keyframe or covisible) appeared in `threshold` consecutive detections."""
+
+    def __init__(self, threshold: int = 3):
+        self.threshold = threshold
+        self.prev: list = []  # list of (kf_slot, count)
+
+    def update(self, state: MapState, cand_kf: int) -> bool:
+        import numpy as _np
+
+        new_prev = []
+        accepted = False
+        matched = False
+        for kf_old, count in self.prev:
+            consistent = kf_old == cand_kf or (
+                int(covis_weight(state, jnp.asarray(cand_kf),
+                                 jnp.asarray(kf_old))) >= 15
+            )
+            if consistent:
+                matched = True
+                new_prev.append((cand_kf, count + 1))
+                if count + 1 >= self.threshold:
+                    accepted = True
+        if not matched:
+            new_prev.append((cand_kf, 1))
+            if self.threshold <= 1:
+                accepted = True
+        self.prev = new_prev
+        return accepted
+
+    def reset(self):
+        self.prev = []
+
+
 @functools.partial(jax.jit, static_argnames=("min_gap",))
 def detect_loop_by_bow(state: MapState, kf_cur, min_gap: int = 10):
     """Appearance-based loop candidates (DetectLoop, reference

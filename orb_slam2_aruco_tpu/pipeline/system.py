@@ -73,6 +73,9 @@ class SlamSystem:
         self.stats = {"kf_inserted": 0, "pts_created": 0, "ba_runs": 0,
                       "reloc": 0, "aruco_seeded": 0, "loops_closed": 0}
         self.last_loop_kf_count = 0
+        self.bow_consistency = loop_closing.ConsistencyTracker(
+            cfg.loop.consistency_threshold
+        )
 
     # ------------------------------------------------------------------
     def track_monocular(self, img: np.ndarray, ts: float):
@@ -310,6 +313,11 @@ class SlamSystem:
                     self.map, jnp.asarray(int(k)),
                     min_gap=cfg.loop.min_kfs_between_loops,
                 )
+                # BoW candidates need 3-consecutive-consistency (DetectLoop)
+                if bool(det.found) and not self.bow_consistency.update(
+                    self.map, int(det.kf_loop)
+                ):
+                    det = det._replace(found=jnp.asarray(False))
             if bool(det.found):
                 if int(det.marker_slot) >= 0:
                     cand = loop_closing.compute_sim3(
@@ -399,6 +407,7 @@ class SlamSystem:
         self.last_pose = None
         self.vel = None
         self.init_frame = None
+        self.bow_consistency.reset()
 
     def get_trajectory(self):
         return self.trajectory
