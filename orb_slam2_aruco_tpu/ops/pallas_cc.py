@@ -40,20 +40,23 @@ def _cc_kernel(labels_ref, out_ref, *, tile_h, tile_w, halo, k_steps, H, W):
         dma_in.wait()
 
         def step(_, carry):
+            # 8-neighbor min via static shifted slices of the buffer value
+            # (Mosaic does not lower jnp.roll on 2D VMEM tiles); only the
+            # (hy-2, hx-2) interior updates each step — the k-deep halo makes
+            # the tile interior exact after k steps.
             lab = buf_ref[:, :]
-            best = lab
-            # 8-neighbor min via rolls of the halo buffer. Wrap-around
-            # pollution travels at most k_steps-1 pixels inward — it never
-            # reaches the interior because halo == k_steps.
-            for dy in (-1, 0, 1):
-                for dx in (-1, 0, 1):
-                    if dy == 0 and dx == 0:
+            c = lab[1 : hy - 1, 1 : hx - 1]
+            best = c
+            for dy in (0, 1, 2):
+                for dx in (0, 1, 2):
+                    if dy == 1 and dx == 1:
                         continue
-                    sh = jnp.roll(lab, (-dy, -dx), axis=(0, 1))
-                    best = jnp.minimum(best, sh)
+                    best = jnp.minimum(
+                        best, lab[dy : dy + hy - 2, dx : dx + hx - 2]
+                    )
             sentinel = jnp.int32(H * W)
-            new = jnp.where(lab < sentinel, jnp.minimum(lab, best), lab)
-            buf_ref[:, :] = new
+            new_c = jnp.where(c < sentinel, jnp.minimum(c, best), c)
+            buf_ref[1 : hy - 1, 1 : hx - 1] = new_c
             return carry
 
         jax.lax.fori_loop(0, k_steps, step, 0)

@@ -59,6 +59,7 @@ def optimize_pose_graph(
     free,         # [K] 1.0 for free vertices, 0.0 for fixed (loop KF)
     iters: int = 20,
     lam: float = 1e-16,
+    fix_scale: bool = False,
 ) -> PoseGraphResult:
     """Note on measurement convention: the residual is
     log(S_m · S_iw · S_wj), so S_m must equal (S_iw S_wj)^{-1} = S_jw S_wi at
@@ -113,6 +114,13 @@ def optimize_pose_graph(
         b = (bi + bj).reshape(K * 7)
         Hd = H.transpose(0, 2, 1, 3).reshape(K * 7, K * 7)
         free_vec = jnp.repeat(free, 7)
+        if fix_scale:
+            # bFixScale=true (reference OptimizeEssentialGraph for marker
+            # maps): the sigma component of every vertex stays 0
+            dim_mask = jnp.tile(
+                jnp.asarray([1.0] * 6 + [0.0], dtype=free_vec.dtype), K
+            )
+            free_vec = free_vec * dim_mask
         Hd = Hd * free_vec[:, None] * free_vec[None, :]
         d = jnp.maximum(jnp.diagonal(Hd), 1e-12)
         Hd = Hd + jnp.diag(lam * d + 1e-8 + (1.0 - free_vec))

@@ -149,11 +149,32 @@ def compute_sim3(state: MapState, kf_cur, kf_loop, marker_slot,
     inv2 = sig2[state.kf_kp_octave[kf_loop][j]]
     valid = m.valid & mask_cur & state.pt_valid[jnp.maximum(cur_obs, 0)] & \
         state.pt_valid[jnp.maximum(loop_obs[j], 0)]
-    res = sim3_opt.optimize_sim3(
+    # Dual seed: the marker relative pose can pick the flipped IPPE solution
+    # on near-frontal views; the map-estimate relative T_cur_w * T_w_loop is
+    # immune to that but carries the accumulated drift. Optimize from both
+    # and keep the higher-inlier solution.
+    Rl_inv, tl_inv = se3_inverse(state.kf_Rcw[kf_loop], state.kf_tcw[kf_loop])
+    R0b, t0b = se3_compose(state.kf_Rcw[kf_cur], state.kf_tcw[kf_cur],
+                           Rl_inv, tl_inv)
+    res_a = sim3_opt.optimize_sim3(
         s0, R0, t0, p1, p2, uv1, uv2, valid, inv1, inv2, cam,
         fix_scale=cfg.loop.fix_scale,
         iters_first=cfg.optim.sim3_iters,
         iters_second=2 * cfg.optim.sim3_iters,
+    )
+    res_b = sim3_opt.optimize_sim3(
+        s0, R0b, t0b, p1, p2, uv1, uv2, valid, inv1, inv2, cam,
+        fix_scale=cfg.loop.fix_scale,
+        iters_first=cfg.optim.sim3_iters,
+        iters_second=2 * cfg.optim.sim3_iters,
+    )
+    use_b = res_b.n_inliers > res_a.n_inliers
+    res = sim3_opt.Sim3Result(
+        s=jnp.where(use_b, res_b.s, res_a.s),
+        R=jnp.where(use_b, res_b.R, res_a.R),
+        t=jnp.where(use_b, res_b.t, res_a.t),
+        inliers=jnp.where(use_b, res_b.inliers, res_a.inliers),
+        n_inliers=jnp.maximum(res_a.n_inliers, res_b.n_inliers),
     )
 
     # ---- second round: SearchBySim3 (reference src/ORBmatcher.cc:1106) ----
@@ -205,8 +226,28 @@ def compute_sim3(state: MapState, kf_cur, kf_loop, marker_slot,
     R_f = jnp.where(use2, res2.R, res.R)
     t_f = jnp.where(use2, res2.t, res.t)
     n_f = jnp.maximum(res2.n_inliers, res.n_inliers)
-    ok = ok1 & ok2 & (n_f >= cfg.loop.sim3_min_inliers)
-    return Sim3Candidate(ok=ok, s=s_f, R=R_f, t=t_f, n_inliers=n_f)
+
+    # ---- 2D-3D verification (SearchByProjection >= 30, LoopClosing.cc:476):
+    # project the loop keyframe's map points through the final Sim3 into the
+    # CURRENT image and count descriptor-verified window matches against ALL
+    # current features — a fresh revisit keyframe has few mapped features
+    # yet, but its raw detections still confirm the loop geometry
+    qf = sim3_apply(s_f[None], R_f, t_f, p2_all)
+    uv_pf = cam_mod.project(cam, qf)
+    m3 = matching.match_in_window(
+        state.kf_desc[kf_loop], state.kf_desc[kf_cur], uv_pf,
+        state.kf_kp_uv[kf_cur],
+        radius=7.5,
+        mask_a=loop_ok, mask_b=state.kf_kp_valid[kf_cur],
+        max_dist=float(cfg.matcher.th_low), nn_ratio=1.0,
+    )
+    n_proj = jnp.sum(m3.valid.astype(jnp.int32))
+    ok = ok1 & ok2 & (
+        (n_f >= cfg.loop.sim3_min_inliers)
+        | (n_proj >= cfg.loop.proj_min_matches)
+    )
+    return Sim3Candidate(ok=ok, s=s_f, R=R_f, t=t_f,
+                         n_inliers=jnp.maximum(n_f, n_proj))
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "max_covis_edges"))
@@ -315,6 +356,7 @@ def correct_loop(
         s_init, R_init, t_init, e_i, e_j, sm, Rm, tm, e_mask, free,
         iters=cfg.optim.essential_graph_iters,
         lam=cfg.optim.lm_lambda_essential,
+        fix_scale=cfg.loop.fix_scale,
     )
 
     # ---- recover SE3 (t / s) and re-transform points & markers -----------

@@ -297,16 +297,32 @@ def bundle_adjust(
     K, N = state.kf_obs_point.shape
     A = state.kf_mk_slot.shape[1]
     M = state.M
-    # ---- select cameras: newest max_cams by frame id ----
-    order_key = jnp.where(state.kf_valid, state.kf_frame_id, -1)
     if window_all:
+        # global BA: all valid keyframes (up to max_cams, newest first)
+        order_key = jnp.where(state.kf_valid, state.kf_frame_id, -1)
         sel_val, sel = jax.lax.top_k(
             jnp.where(state.kf_valid, 1, 0) * (order_key + 2), max_cams
         )
+        sel_ok = (sel_val > 0) & state.kf_valid[sel]
     else:
-        sel_val, sel = jax.lax.top_k(order_key, max_cams)
-    sel_ok = sel_val > 0 if window_all else (sel_val >= 0)
-    sel_ok = sel_ok & state.kf_valid[sel]
+        # local BA: the center keyframe + its best covisible neighbors
+        # (reference LocalBundleAdjustment local set, Optimizer.cc:777-794);
+        # recency breaks ties so a fresh keyframe with few shared points yet
+        # still joins the window
+        from orb_slam2_aruco_tpu.worldmap.covisibility import (
+            covisibility_matrix,
+        )
+
+        W = covisibility_matrix(state)
+        recency = jnp.where(state.kf_valid, state.kf_frame_id, -1)
+        score = jnp.where(
+            state.kf_valid, W[center_kf].astype(jnp.float32) * 1e4
+            + recency.astype(jnp.float32), -1.0
+        )
+        score = score.at[center_kf].set(jnp.float32(1e12))
+        sel_val, sel = jax.lax.top_k(score, max_cams)
+        sel_ok = (sel_val > 0) & state.kf_valid[sel]
+        sel_val = recency[sel]  # downstream gauge logic keys on insertion age
     # gauge: fix the oldest selected valid camera + the map's first KF if in
     first_kf = jnp.argmin(
         jnp.where(state.kf_valid, state.kf_frame_id, jnp.int32(2**30))
@@ -643,8 +659,9 @@ def aruco_plane_update(state: MapState, kf, cam: Camera, cfg: SlamConfig):
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
-def fuse_duplicates(state: MapState, kf, cam: Camera, cfg: SlamConfig):
+@functools.partial(jax.jit, static_argnames=("cfg", "restrict_covisible"))
+def fuse_duplicates(state: MapState, kf, cam: Camera, cfg: SlamConfig,
+                    restrict_covisible: bool = True):
     """Merge duplicated map points (SearchInNeighbors/Fuse, reference
     src/LocalMapping.cc:822-902, ORBmatcher::Fuse src/ORBmatcher.cc:829):
     a point observed by the current keyframe that lies within the scale-
@@ -680,6 +697,10 @@ def fuse_duplicates(state: MapState, kf, cam: Camera, cfg: SlamConfig):
     tgt_mask = segment_sum_sorted(
         jnp.ones_like(tgt_ids, dtype=jnp.float32), tgt_ids, L
     ) > 0
+    if not restrict_covisible:
+        # loop-closure fusion (SearchAndFuse, LoopClosing.cc:1074-1100): the
+        # whole map is a target so the two sides of the loop merge
+        tgt_mask = jnp.ones_like(tgt_mask)
     # candidates: my (<=N) points vs covisible points — [N, L] stays bounded
     # by the per-frame feature budget, not by map capacity
     d2 = jnp.sum(

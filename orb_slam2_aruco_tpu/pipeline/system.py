@@ -334,12 +334,19 @@ class SlamSystem:
                         self.map, jnp.asarray(int(k)), det.kf_loop,
                         cand.s, cand.R, cand.t, self.cam, cfg,
                     )
-                    # global BA after loop correction (GBA thread analogue)
-                    self.map, _ = mapping.bundle_adjust(
-                        self.map, jnp.asarray(int(k)), self.cam, cfg,
-                        max_cams=min(32, cfg.map.max_keyframes),
-                        max_pts=2048, iters=10, window_all=True,
-                    )
+                    # fuse the two sides of the loop (SearchAndFuse), then
+                    # global BA; one more fuse+BA round picks up the
+                    # duplicates that only align after the first BA
+                    for _ in range(2):
+                        self.map, _ = mapping.fuse_duplicates(
+                            self.map, jnp.asarray(int(k)), self.cam, cfg,
+                            restrict_covisible=False,
+                        )
+                        self.map, _ = mapping.bundle_adjust(
+                            self.map, jnp.asarray(int(k)), self.cam, cfg,
+                            max_cams=min(32, cfg.map.max_keyframes),
+                            max_pts=2048, iters=10, window_all=True,
+                        )
                     self.last_loop_kf_count = self.n_keyframes
                     self.stats["loops_closed"] += 1
 
