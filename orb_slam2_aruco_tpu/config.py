@@ -69,7 +69,9 @@ class ArucoConfig:
     max_quad_candidates: int = 64     # static capacity for quad proposals
     ippe_ambiguity_ratio: float = 0.7  # err0/err1 gate (Frame.cc:170-174)
     warp_bits_margin: int = 1         # black border cells on each side
-    warp_cell_px: int = 8             # warp resolution per bit cell
+    warp_cell_px: int = 3             # warp samples per bit-cell axis (3x3
+                                      # per cell; TPU gathers are the warp's
+                                      # cost, so keep this small)
     adaptive_thresh_win: int = 15     # box window for adaptive threshold
     adaptive_thresh_c: float = 7.0
     cc_iters: int = 0                 # connected-component propagation depth

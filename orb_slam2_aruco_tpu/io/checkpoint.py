@@ -31,5 +31,16 @@ def load_map(path: str) -> MapState:
     version = int(data["__version__"])
     if version != _FORMAT_VERSION:
         raise ValueError(f"unsupported map checkpoint version {version}")
-    kwargs = {f: jnp.asarray(data[f]) for f in MapState._fields}
+    kwargs = {f: jnp.asarray(data[f]) for f in MapState._fields if f in data}
+    if "pt_obs_kf" not in kwargs:
+        # older checkpoints predate the point<->KF incidence matrix: rebuild
+        # it from the observation table (host-side, load is not a hot path)
+        obs = np.asarray(kwargs["kf_obs_point"])
+        valid = np.asarray(kwargs["kf_kp_valid"])
+        L = kwargs["pt_valid"].shape[0]
+        inc = np.zeros((L, obs.shape[0]), bool)
+        for k in range(obs.shape[0]):
+            ids = obs[k][valid[k] & (obs[k] >= 0)]
+            inc[ids, k] = True
+        kwargs["pt_obs_kf"] = jnp.asarray(inc)
     return MapState(**kwargs)

@@ -21,6 +21,7 @@ using geometry/ippe.py.
 
 from __future__ import annotations
 
+import math
 from typing import NamedTuple
 
 import jax
@@ -46,10 +47,45 @@ def adaptive_threshold(img, win: int = 15, c: float = 7.0):
     return img < (mean - c)
 
 
-def connected_components(binary, iters: int):
-    """Label propagation: every foreground pixel takes the min flat-index in
-    its 8-neighborhood, iterated. Returns [H, W] int32 labels (background =
-    H*W)."""
+def _seg_cummin_axis(lab, fg, sentinel, axis):
+    """Segmented cumulative min of `lab` within foreground runs along `axis`,
+    both directions. Implemented with lax.cummax over a packed key
+    (run_id * OFFSET + (sentinel - lab)): a later run's key always dominates
+    an earlier run's (segment isolation), and within a run the smallest label
+    dominates — one cumulative op per direction instead of an
+    associative_scan with tuple carries."""
+    n = lab.shape[axis]
+    offset = sentinel + 1
+    if (n - 1) * offset + sentinel > 2**31 - 1:
+        dt = jnp.int64
+    else:
+        dt = jnp.int32
+    iota = jax.lax.broadcasted_iota(dt, lab.shape, axis)
+    reset = ~fg
+    out = lab
+    for reverse in (False, True):
+        pos = (n - 1) - iota if reverse else iota
+        s = jax.lax.cummax(jnp.where(reset, pos, -1), axis=axis,
+                           reverse=reverse)
+        packed = s * offset + (sentinel - out.astype(dt))
+        y = jax.lax.cummax(packed, axis=axis, reverse=reverse)
+        seg = sentinel - (y - s * offset)
+        out = jnp.where(fg, seg.astype(lab.dtype), out)
+    return out
+
+
+def connected_components(binary, iters: int, rounds: int | None = None):
+    """Min-label connected components on [H, W] bool. Returns [H, W] int32
+    labels (background = H*W).
+
+    Each round combines (a) one 8-neighbor min propagation, (b) segmented
+    row+column cumulative-min sweeps (a label crosses any straight scanline
+    run in ONE round), and (c) a pointer jump (`lab <- lab[lab]`, valid
+    because lab[p] always names a smaller-index pixel of the same blob, so
+    a region whose local-min pixel learns a better label relabels entirely
+    on the next jump). Convex-ish blobs (marker quads/rings) converge in
+    1-4 rounds; `iters` keeps the reference semantics "geodesic coverage"
+    and maps to ceil(log2(iters)) + 1 rounds; pass `rounds` to override."""
     h, w = binary.shape
     sentinel = h * w
     flat = (
@@ -68,10 +104,21 @@ def connected_components(binary, iters: int):
                 best = jnp.minimum(best, p[1 + dy : 1 + dy + h, 1 + dx : 1 + dx + w])
         return jnp.where(binary, jnp.minimum(lab, best), sentinel)
 
-    def body(_, lab):
-        return prop(lab)
+    def jump(lab):
+        lf = lab.reshape(-1)
+        tgt = jnp.take(lf, jnp.minimum(lf, sentinel - 1))
+        return jnp.where(lf == sentinel, sentinel, tgt).reshape(h, w)
 
-    return jax.lax.fori_loop(0, iters, body, labels)
+    if rounds is None:
+        rounds = max(2, math.ceil(math.log2(max(2, iters))) + 1)
+
+    def body(_, lab):
+        lab = prop(lab)
+        lab = _seg_cummin_axis(lab, binary, sentinel, axis=1)
+        lab = _seg_cummin_axis(lab, binary, sentinel, axis=0)
+        return jump(lab)
+
+    return jax.lax.fori_loop(0, rounds, body, labels)
 
 
 def quad_candidates(binary, max_quads: int, min_area: float = 64.0,
@@ -89,10 +136,13 @@ def quad_candidates(binary, max_quads: int, min_area: float = 64.0,
     """
     h, w = binary.shape
     P = h * w
+    cc_rounds = None
     if cc_iters <= 0:
-        # a blob of diameter D is fully labeled after ~D iterations; markers
-        # are bounded in screen size, so cap the propagation depth
-        cc_iters = min(192, max(h, w) // 2)
+        # marker blobs (quads/border rings) converge in <= 4 scan-sweep
+        # rounds; a pathological blob that needs more merely splits into
+        # several candidates, which the decode stage rejects
+        cc_rounds = 4
+        cc_iters = h + w
     if use_pallas_cc:
         from orb_slam2_aruco_tpu.ops.pallas_cc import cc_propagate_pallas
 
@@ -102,30 +152,45 @@ def quad_candidates(binary, max_quads: int, min_area: float = 64.0,
         )
         labels0 = jnp.where(binary, flat0, h * w)
         k_steps = 16
-        labels2d = cc_propagate_pallas(
-            labels0, passes=-(-cc_iters // k_steps), k_steps=k_steps,
-            tile=128,
-        )
+        sentinel = h * w
+        # alternate a 16-step VMEM-local sweep with a pointer jump: coverage
+        # ~ k_steps * 2^rounds geodesic pixels
+        rounds = max(2, math.ceil(math.log2(max(2.0, cc_iters / k_steps))) + 1)
+
+        def pallas_round(_, lab):
+            lab = cc_propagate_pallas(lab, passes=1, k_steps=k_steps, tile=128)
+            lf = lab.reshape(-1)
+            tgt = jnp.take(lf, jnp.minimum(lf, sentinel - 1))
+            return jnp.where(lf == sentinel, sentinel, tgt).reshape(h, w)
+
+        labels2d = jax.lax.fori_loop(0, rounds, pallas_round, labels0)
     else:
-        labels2d = connected_components(binary, iters=cc_iters)
+        labels2d = connected_components(binary, iters=cc_iters,
+                                        rounds=cc_rounds)
     labels = labels2d.reshape(-1)
     flat_idx = jnp.arange(P, dtype=jnp.int32)
     xs = (flat_idx % w).astype(jnp.float32)
     ys = (flat_idx // w).astype(jnp.float32)
 
-    # per-pixel blob area via sorted run lengths (binary search, no scatter)
-    sorted_labels = jnp.sort(labels)
-    left = jnp.searchsorted(sorted_labels, labels, side="left")
-    right = jnp.searchsorted(sorted_labels, labels, side="right")
-    area_pp = (right - left).astype(jnp.float32)
-
-    fg = labels < P
-    is_root = (labels == flat_idx) & fg
-    area_ok = (area_pp >= min_area) & (area_pp <= max_area_frac * P)
-    score = jnp.where(is_root & area_ok, area_pp, 0.0)
-    vals, roots = jax.lax.top_k(score, max_quads)   # [Q] root pixel indices
+    # Blob areas from a SUBSAMPLED label field: sorting the full image costs
+    # tens of ms on TPU; a stride-s sample estimates each area to within
+    # s^2-pixel resolution, which is plenty for the min/max-area gates and
+    # the top-K ranking (marker blobs are hundreds of pixels). Label VALUES
+    # are root flat-indices, so the root need not land on the sample grid.
+    astride = max(1, int(round(math.sqrt(P / 32768.0)))) if P > 40000 else 1
+    sub = labels2d[::astride, ::astride].reshape(-1)
+    Ps = sub.shape[0]
+    ss = jnp.sort(sub)
+    left = jnp.searchsorted(ss, ss, side="left")
+    right = jnp.searchsorted(ss, ss, side="right")
+    area_run = (right - left).astype(jnp.float32) * float(astride * astride)
+    run_start = left == jnp.arange(Ps, dtype=left.dtype)
+    fg_run = ss < P
+    area_ok = (area_run >= min_area) & (area_run <= max_area_frac * P)
+    score = jnp.where(run_start & fg_run & area_ok, area_run, 0.0)
+    vals, pos = jax.lax.top_k(score, max_quads)     # [Q] run-start positions
     valid = vals > 0
-    root_label = jnp.where(valid, roots, -1)
+    root_label = jnp.where(valid, ss[pos], -1)
 
     # membership matrix [Q, P] — all per-blob stats are masked reductions
     M = labels[None, :] == root_label[:, None]

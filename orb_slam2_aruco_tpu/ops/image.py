@@ -52,21 +52,57 @@ def gaussian_kernel1d(ksize: int, sigma: float):
     return jnp.asarray(k / k.sum())
 
 
+def _sep_filter_shift(img, k1):
+    """Separable filter as explicit shift-multiply-adds. XLA's conv op with a
+    single channel wastes the MXU (pads 1 channel to a full tile); taps-many
+    shifted adds are pure fused VPU work and run ~10x faster for small k."""
+    k = np.asarray(k1, dtype=np.float32)
+    r = len(k) // 2
+    h, w = img.shape
+    for axis in (1, 0):
+        pw = [(0, 0), (r, r)] if axis == 1 else [(r, r), (0, 0)]
+        p = jnp.pad(img, pw)
+        acc = None
+        for i, ki in enumerate(k):
+            sl = (
+                p[:, i : i + w] if axis == 1 else p[i : i + h, :]
+            ) * float(ki)
+            acc = sl if acc is None else acc + sl
+        img = acc
+    return img
+
+
 def gaussian_blur(img, ksize: int = 7, sigma: float = 2.0):
     """Separable Gaussian blur (reference blurs each level before BRIEF,
     ORBextractor.cc:1044-1105)."""
-    k1 = gaussian_kernel1d(ksize, sigma)
-    img = _conv2d_single(img, k1[None, :])
-    img = _conv2d_single(img, k1[:, None])
-    return img
+    r = ksize // 2
+    x = np.arange(-r, r + 1, dtype=np.float32)
+    k = np.exp(-0.5 * (x / sigma) ** 2)
+    return _sep_filter_shift(img, k / k.sum())
 
 
 def box_filter(img, ksize: int):
-    """Mean filter via separable uniform kernel (for adaptive thresholding)."""
-    k1 = jnp.full((ksize,), 1.0 / ksize, dtype=img.dtype)
-    img = _conv2d_single(img, k1[None, :])
-    img = _conv2d_single(img, k1[:, None])
-    return img
+    """Local-mean filter via an integral image (two cumsums + four shifted
+    slices) — O(1) per pixel regardless of window size, no conv op. Edges
+    normalize by the true in-bounds window area."""
+    h, w = img.shape
+    r = ksize // 2
+    ii = jnp.pad(img, ((1 + r, r), (1 + r, r))).cumsum(axis=0).cumsum(axis=1)
+    s = (
+        ii[ksize:, ksize:]
+        - ii[:-ksize, ksize:]
+        - ii[ksize:, :-ksize]
+        + ii[:-ksize, :-ksize]
+    )
+    ones = jnp.ones((h, w), dtype=img.dtype)
+    jj = jnp.pad(ones, ((1 + r, r), (1 + r, r))).cumsum(axis=0).cumsum(axis=1)
+    cnt = (
+        jj[ksize:, ksize:]
+        - jj[:-ksize, ksize:]
+        - jj[ksize:, :-ksize]
+        + jj[:-ksize, :-ksize]
+    )
+    return s / cnt
 
 
 def to_gray(img):

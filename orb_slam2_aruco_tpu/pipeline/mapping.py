@@ -105,6 +105,12 @@ def create_keyframe(
         kf_desc=state.kf_desc.at[k].set(frame.desc),
         kf_kp_valid=state.kf_kp_valid.at[k].set(frame.kp_valid),
         kf_obs_point=state.kf_obs_point.at[k].set(obs_point),
+        # point<->KF incidence column for this (possibly reused) KF slot
+        pt_obs_kf=state.pt_obs_kf.at[:, k].set(
+            jnp.zeros((state.L,), bool)
+            .at[jnp.clip(obs_point, 0, state.L - 1)]
+            .max(obs_point >= 0)
+        ),
         mk_Rwm=mk_Rwm,
         mk_twm=mk_twm,
         mk_id=mk_id,
@@ -145,14 +151,44 @@ def triangulate_new_points(
     free_new = state.kf_kp_valid[kf_new] & (state.kf_obs_point[kf_new] < 0)
     free_prev = state.kf_kp_valid[kf_prev] & (state.kf_obs_point[kf_prev] < 0)
     dist = matching.distance_matrix(d_new, d_prev, free_new, free_prev)
-    m = matching.nn_match(
-        dist, max_dist=float(cfg.matcher.th_low),
-        nn_ratio=0.8, mutual=True,
-    )
     R1 = state.kf_Rcw[kf_prev]
     t1 = state.kf_tcw[kf_prev]
     R2 = state.kf_Rcw[kf_new]
     t2 = state.kf_tcw[kf_new]
+    # epipolar gate BEFORE nearest-neighbor selection (the reference's
+    # CheckDistEpipolarLine inside SearchForTriangulation,
+    # src/ORBmatcher.cc:140-157 and :661): repetitive texture makes pure
+    # descriptor-NN matching ambiguous; the epipolar constraint resolves it
+    R21, t21 = se3_compose(R2, t2, *se3_inverse(R1, t1))
+    tx, ty, tz = t21[0], t21[1], t21[2]
+    zero = jnp.zeros(())
+    skew = jnp.stack([
+        jnp.stack([zero, -tz, ty]),
+        jnp.stack([tz, zero, -tx]),
+        jnp.stack([-ty, tx, zero]),
+    ])
+    E = skew @ R21                                               # [t]x R
+    Kinv = jnp.asarray([
+        [1.0 / cam.fx, 0.0, -cam.cx / cam.fx],
+        [0.0, 1.0 / cam.fy, -cam.cy / cam.fy],
+        [0.0, 0.0, 1.0],
+    ], dtype=jnp.float32)
+    F = Kinv.T @ E @ Kinv
+    uv1_all = state.kf_kp_uv[kf_prev]
+    uv2_all = state.kf_kp_uv[kf_new]
+    p1h = jnp.concatenate([uv1_all, jnp.ones((N, 1))], axis=1)   # [N, 3]
+    p2h = jnp.concatenate([uv2_all, jnp.ones((N, 1))], axis=1)
+    lines = p1h @ F.T                                            # [N_prev, 3]
+    num = jnp.abs(p2h @ lines.T)                                 # [new, prev]
+    den = jnp.sqrt(lines[:, 0] ** 2 + lines[:, 1] ** 2)[None, :]
+    epi_d2 = (num / jnp.maximum(den, 1e-9)) ** 2
+    sig2 = scale_sigma2(cfg.orb.num_levels, cfg.orb.scale_factor)
+    epi_ok = epi_d2 * sig2[state.kf_kp_octave[kf_new]][:, None] < 3.84
+    dist = jnp.where(epi_ok, dist, jnp.inf)
+    m = matching.nn_match(
+        dist, max_dist=float(cfg.matcher.th_low),
+        nn_ratio=0.8, mutual=True,
+    )
     uv_new = state.kf_kp_uv[kf_new]
     uv_prev = state.kf_kp_uv[kf_prev][jnp.maximum(m.idx, 0)]
     xn2 = cam_mod.pixels_to_normalized(cam, uv_new)
@@ -233,11 +269,22 @@ def triangulate_new_points(
     obs_prev_row = jnp.where(
         obs_prev_row >= 0, obs_prev_row, state.kf_obs_point[kf_prev]
     )
+    # incidence rows for the new (possibly recycled) point slots: observed by
+    # exactly {kf_new, kf_prev}; row overwrite also clears stale bits left by
+    # a previously culled occupant of the slot
+    K = state.K
+    kiota = jnp.arange(K, dtype=jnp.int32)
+    inc_row = (kiota == kf_new) | (kiota == kf_prev)
+    inc_rows = jnp.broadcast_to(inc_row, (Nb, K))
+    pt_obs_kf = jnp.concatenate(
+        [state.pt_obs_kf, jnp.zeros((1, K), bool)]
+    ).at[tgt].set(inc_rows)[: state.L]
     state = state._replace(
         kf_obs_point=state.kf_obs_point.at[kf_new]
         .set(obs_new)
         .at[kf_prev]
-        .set(obs_prev_row)
+        .set(obs_prev_row),
+        pt_obs_kf=pt_obs_kf,
     )
     return state, jnp.sum(can.astype(jnp.int32))
 
@@ -251,17 +298,11 @@ def triangulate_new_points(
 def cull_points(state: MapState, current_kf_count, min_found_ratio: float = 0.25):
     """MapPointCulling (reference src/LocalMapping.cc:185-220): drop points
     whose found/visible ratio is poor. (The 2-obs-in-2-KF gate needs obs
-    counting — approximated via the incidence count.)"""
-    from orb_slam2_aruco_tpu.optim.segsum import segment_sum_sorted
-
+    counting — from the point<->KF incidence matrix.)"""
     ratio = state.pt_found / jnp.maximum(state.pt_visible, 1.0)
-    # observation count from the observation table (scatter-free: TPU
-    # scatters serialize)
-    L = state.L
-    obs = jnp.where(state.kf_kp_valid, state.kf_obs_point, -1)
-    cnt = segment_sum_sorted(
-        jnp.ones((obs.size,), jnp.float32), obs.reshape(-1), L
-    ).astype(jnp.int32)
+    cnt = jnp.sum(
+        state.pt_obs_kf & state.kf_valid[None, :], axis=1, dtype=jnp.int32
+    )
     age = current_kf_count - jnp.maximum(state.pt_first_kf, 0)
     bad = state.pt_valid & (
         (ratio < min_found_ratio) | ((age >= 3) & (cnt <= 2))
@@ -418,11 +459,23 @@ def bundle_adjust(
     kf_obs = jnp.concatenate(
         [state.kf_obs_point, jnp.zeros((1, N), jnp.int32)]
     ).at[jnp.where(sel_ok, sel, K)].set(obs_rows)[:K]
+    # rebuild the incidence columns of the window keyframes (outlier-erased
+    # observations must leave the point<->KF incidence too)
+    def col_of(row):
+        return jnp.zeros((state.L,), bool).at[
+            jnp.clip(row, 0, state.L - 1)
+        ].max(row >= 0)
+
+    cols = jax.vmap(col_of, out_axes=1)(obs_rows)     # [L, max_cams]
+    pt_obs_kf = jnp.concatenate(
+        [state.pt_obs_kf, jnp.zeros((state.L, 1), bool)], axis=1
+    ).at[:, jnp.where(sel_ok, sel, K)].set(cols)[:, :K]
     state = state._replace(
         kf_Rcw=kf_Rcw,
         kf_tcw=kf_tcw,
         pt_xyz=pt_xyz,
         kf_obs_point=kf_obs,
+        pt_obs_kf=pt_obs_kf,
         mk_Rwm=jnp.where(state.mk_valid[:, None, None], out.Rwm, state.mk_Rwm),
         mk_twm=jnp.where(state.mk_valid[:, None], out.twm, state.mk_twm),
     )
@@ -750,11 +803,23 @@ def fuse_duplicates(state: MapState, kf, cam: Camera, cfg: SlamConfig,
     add_vis = jnp.zeros((L,)).at[tgt].add(
         jnp.where(has_tgt, state.pt_visible, 0.0)
     )
+    # incidence rows: the merge target inherits the source's observing KFs
+    # (compacted to a fixed budget of fused pairs — fusion merges a handful
+    # of duplicates per call, never the whole map)
+    F = 256
+    _, src_idx = jax.lax.top_k(has_tgt.astype(jnp.int32), min(F, L))
+    src_ok = has_tgt[src_idx]
+    dst_idx = jnp.where(src_ok, tgt[src_idx], L)
+    Kk = state.pt_obs_kf.shape[1]
+    pt_obs_kf = jnp.concatenate(
+        [state.pt_obs_kf, jnp.zeros((1, Kk), bool)]
+    ).at[dst_idx].max(state.pt_obs_kf[src_idx])[:L]
     state = state._replace(
         pt_valid=pt_valid,
         kf_obs_point=remapped,
         pt_found=state.pt_found + add_found,
         pt_visible=state.pt_visible + add_vis,
+        pt_obs_kf=pt_obs_kf,
     )
     return state, jnp.sum(has_tgt.astype(jnp.int32))
 

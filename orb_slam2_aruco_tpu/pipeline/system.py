@@ -251,15 +251,21 @@ class SlamSystem:
         self.n_keyframes += 1
         self.stats["kf_inserted"] += 1
         prev = self.last_kf_slot
+        prev2 = self.prev_kf_slot
         self.prev_kf_slot = prev
         self.last_kf_slot = int(k)
         self.last_kf_frame_id = fid
         self.ref_kf = int(k)
-        if prev >= 0:
-            self.map, n_new = mapping.triangulate_new_points(
-                self.map, k, jnp.asarray(prev), self.cam, cfg, max_new=256
-            )
-            self.stats["pts_created"] += int(n_new)
+        # triangulate against the two most recent neighbors (the reference
+        # searches the top-20 covisible KFs, LocalMapping.cc:222-229; two
+        # baselines already recover most of that yield and keep this phase
+        # two fixed-shape dispatches)
+        for nb in (prev, prev2):
+            if nb >= 0 and nb != int(k):
+                self.map, n_new = mapping.triangulate_new_points(
+                    self.map, k, jnp.asarray(nb), self.cam, cfg, max_new=256
+                )
+                self.stats["pts_created"] += int(n_new)
         self.map, _ = mapping.cull_points(
             self.map, jnp.asarray(self.n_keyframes, jnp.int32),
             cfg.map.cull_found_ratio,

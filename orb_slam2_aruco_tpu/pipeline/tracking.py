@@ -158,28 +158,23 @@ def local_point_mask(state: MapState, obs_point, max_local_kfs: int):
     """[L] bool: points observed by the covisibility-local keyframe set —
     the keyframes sharing map points with the current frame, capped at
     max_local_kfs by share count (UpdateLocalKeyFrames <=80,
-    Tracking.cc:1555-1663)."""
-    from orb_slam2_aruco_tpu.optim.segsum import segment_sum_sorted
-
-    K, N = state.kf_obs_point.shape
+    Tracking.cc:1555-1663). Two passes over the [L, K] point<->KF incidence
+    matrix (MXU-friendly; no sorts or large scatters)."""
+    K = state.K
     L = state.L
-    obs_set = jnp.zeros((L,), bool).at[jnp.maximum(obs_point, 0)].set(
+    obs_set = jnp.zeros((L,), bool).at[jnp.maximum(obs_point, 0)].max(
         obs_point >= 0
     )
-    kf_obs = jnp.where(
-        state.kf_kp_valid & state.kf_valid[:, None], state.kf_obs_point, -1
-    )
-    share = jnp.sum(
-        jnp.where(kf_obs >= 0, obs_set[jnp.clip(kf_obs, 0, L - 1)], False),
-        axis=1,
-    )  # [K]
+    inc = state.pt_obs_kf & state.kf_valid[None, :]          # [L, K]
+    share = jnp.dot(
+        obs_set.astype(jnp.float32), inc.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    ).astype(jnp.int32)                                      # [K]
     kth = jax.lax.top_k(share, min(max_local_kfs, K))[0][-1]
     local_kf = (share > 0) & (share >= kth) & state.kf_valid
-    ids = jnp.where(local_kf[:, None] & (kf_obs >= 0), kf_obs, -1).reshape(-1)
-    cnt = segment_sum_sorted(jnp.ones_like(ids, dtype=jnp.float32), ids, L)
+    mask = jnp.any(inc & local_kf[None, :], axis=1)
     # no local keyframes (e.g. empty first-stage): fall back to all points
-    any_local = jnp.any(local_kf)
-    return jnp.where(any_local, cnt > 0, jnp.ones((L,), bool))
+    return jnp.where(jnp.any(local_kf), mask, jnp.ones((L,), bool))
 
 
 def _optimize(state, frame, slots, Rcw0, tcw0, obs_point, cam, cfg: SlamConfig,
@@ -374,19 +369,25 @@ def track_local_map(
     cand = visible & ~already
     if pt_candidates is not None:
         cand = cand & pt_candidates
+    # compact the candidate set before matching: the local map holds a few
+    # thousand points at most, so the [L, N] distance/window matrices would
+    # be mostly masked-out work for large L
+    C = min(L, 4096)
+    cscore, cidx = jax.lax.top_k(cand.astype(jnp.int32), C)
+    csel = cscore > 0
     # match candidate points' descriptors to unmatched current features
     feat_free = frame.kp_valid & (obs_point < 0)
     m = matching.match_in_window(
-        state.pt_desc, frame.desc, uv_pred, frame.kp_uv,
+        state.pt_desc[cidx], frame.desc, uv_pred[cidx], frame.kp_uv,
         radius=cfg.matcher.search_radius_map
-        * (cfg.orb.scale_factor ** jnp.zeros((L,))),  # base radius; octave-free
-        mask_a=cand, mask_b=feat_free,
+        * (cfg.orb.scale_factor ** jnp.zeros((C,))),  # base radius; octave-free
+        mask_a=csel, mask_b=feat_free,
         max_dist=float(cfg.matcher.th_high),
         nn_ratio=cfg.matcher.nn_ratio_tracking,
     )
     N = frame.kp_uv.shape[0]
     tgt = jnp.where(m.valid, m.idx, N)
-    src = jnp.where(m.valid, jnp.arange(L, dtype=jnp.int32), -1)
+    src = jnp.where(m.valid, cidx, -1)
     new_obs = jnp.zeros((N + 1,), jnp.int32).at[:].set(-1).at[tgt].max(src)[:N]
     obs_point = jnp.where(obs_point >= 0, obs_point, new_obs)
     n_matches = jnp.sum((obs_point >= 0).astype(jnp.int32))

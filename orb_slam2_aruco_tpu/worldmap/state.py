@@ -47,6 +47,13 @@ class MapState(NamedTuple):
     pt_found: jnp.ndarray      # [L] float32 'found' counter
     pt_visible: jnp.ndarray    # [L] float32 'visible' counter
     pt_first_kf: jnp.ndarray   # [L] int32 (for culling age)
+    pt_obs_kf: jnp.ndarray     # [L, K] bool point<->keyframe incidence
+                               # (which KFs observe each point; lets the
+                               # covisibility-local map be two matmuls
+                               # instead of a sort/scatter). Updated at KF
+                               # insertion and triangulation; fusion leaves
+                               # absorbed sources' history with the target's
+                               # own row (best-effort, masked by pt_valid).
     # --- markers (SE3 landmarks) ----------------------------------------
     mk_Rwm: jnp.ndarray        # [M, 3, 3] marker->world
     mk_twm: jnp.ndarray        # [M, 3]
@@ -122,6 +129,7 @@ def empty_map(cfg: SlamConfig, num_words: int = None) -> MapState:
         pt_found=jnp.ones((L,), f32),
         pt_visible=jnp.ones((L,), f32),
         pt_first_kf=jnp.full((L,), -1, jnp.int32),
+        pt_obs_kf=jnp.zeros((L, K), bool),
         mk_Rwm=eyem,
         mk_twm=jnp.zeros((M, 3), f32),
         mk_id=jnp.full((M,), -1, jnp.int32),
