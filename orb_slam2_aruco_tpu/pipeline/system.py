@@ -101,6 +101,66 @@ class SlamSystem:
         return pose
 
     # ------------------------------------------------------------------
+    def track_monocular_batch(self, imgs, ts_list):
+        """Localization-mode throughput path: track a chunk of consecutive
+        frames in ONE device dispatch + ONE readback (tracking.track_batch).
+        Sequential semantics match per-frame track_monocular; if a frame in
+        the chunk loses tracking, the remaining frames are re-processed
+        through the per-frame relocalization path. Only valid in
+        localization-only mode with state OK — otherwise falls back to
+        per-frame calls."""
+        if not (self.localization_only and self.state is TrackingState.OK
+                and self.last_frame is not None):
+            return [self.track_monocular(im, t) for im, t in zip(imgs, ts_list)]
+        B = len(imgs)
+        stack = jnp.stack([jnp.asarray(im) for im in imgs])
+        if self.vel is not None:
+            vR, vt, hv = self.vel[0], self.vel[1], jnp.asarray(True)
+        else:
+            vR = jnp.eye(3, dtype=jnp.float32)
+            vt = jnp.zeros(3, dtype=jnp.float32)
+            hv = jnp.asarray(False)
+        ctrls, carry = tracking.track_batch(
+            self.map, stack, self.last_pose[0], self.last_pose[1],
+            vR, vt, hv,
+            self.last_frame.kp_uv, self.last_frame.desc, self.last_obs,
+            self.last_frame.kp_valid, self.last_frame.kp_octave,
+            jnp.asarray(self.ref_kf), self.cam, self.cfg,
+        )
+        (Rl, tl, vR2, vt2, _, luv, ldesc, lobs, lval, loct, vis, found) = carry
+        c = np.asarray(ctrls)                       # ONE readback per chunk
+        poses = []
+        lost_at = B
+        for j in range(B):
+            if c[j, 0] < self.cfg.tracking.min_inliers_track:
+                lost_at = j
+                break
+            Rcw = c[j, 5:14].reshape(3, 3)
+            tcw = c[j, 14:17]
+            poses.append((Rcw, tcw))
+            self.trajectory.append(
+                FrameRecord(self.frame_id + j, ts_list[j], Rcw, tcw,
+                            TrackingState.OK)
+            )
+        self.frame_id += lost_at
+        if lost_at == B:
+            self.map = self.map._replace(pt_visible=vis, pt_found=found)
+            self.last_frame = self.last_frame._replace(
+                kp_uv=luv, desc=ldesc, kp_valid=lval, kp_octave=loct
+            )
+            self.last_obs = lobs
+            self.last_pose = (Rl, tl)
+            self.vel = (vR2, vt2)
+            return poses
+        # a frame in the chunk lost tracking: enter LOST and reprocess the
+        # remainder through the per-frame relocalization path
+        self.state = TrackingState.LOST
+        self.vel = None
+        for j in range(lost_at, B):
+            poses.append(self.track_monocular(imgs[j], ts_list[j]))
+        return poses
+
+    # ------------------------------------------------------------------
     def _try_initialize(self, frame: Frame, fid: int, ts: float):
         cfg = self.cfg
         fctrl = np.asarray(frame.ctrl)   # one read: [n_kp, n_good_markers]

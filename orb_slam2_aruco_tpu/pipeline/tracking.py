@@ -29,7 +29,7 @@ from orb_slam2_aruco_tpu.ops import matching
 from orb_slam2_aruco_tpu.optim import pnp, pose_opt
 from orb_slam2_aruco_tpu.worldmap import retrieval
 from orb_slam2_aruco_tpu.optim.residuals import marker_corner_points_world
-from orb_slam2_aruco_tpu.pipeline.frontend import Frame, scale_sigma2
+from orb_slam2_aruco_tpu.pipeline.frontend import Frame, make_frame, scale_sigma2
 from orb_slam2_aruco_tpu.worldmap.state import MapState
 
 
@@ -421,6 +421,54 @@ class FullTrackResult(NamedTuple):
                                  # relay has ~1 s per-readback latency):
                                  # [n_inl, n_first, aruco, refkf, new_mk,
                                  #  Rcw(9), tcw(3)]
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def track_batch(
+    state: MapState,
+    imgs,                    # [B, H, W] frame chunk (uint8/float)
+    R_last, t_last,          # pose of the frame before the chunk
+    vel_R, vel_t, has_vel,   # motion model state
+    last_uv, last_desc, last_obs, last_valid, last_octave,
+    ref_kf,
+    cam: Camera,
+    cfg: SlamConfig,
+):
+    """Localization-mode tracking of a CHUNK of consecutive frames as one
+    device program (lax.scan): frame i+1 is seeded by frame i's optimized
+    pose exactly as the host loop would, but without a host round trip per
+    frame — the per-frame dispatch+readback latency amortizes over the
+    chunk. The reference's two-pass CLI drives exactly this localization
+    phase (mono_cvcam.cc:183-235). Returns (ctrls [B, 17], final carry)."""
+
+    def step(carry, img):
+        (Rl, tl, vR, vt, hv, luv, ldesc, lobs, lval, loct, vis, found) = carry
+        st = state._replace(pt_visible=vis, pt_found=found)
+        frame = make_frame(img, cam, cfg)
+        Rp, tp = se3_compose(vR, vt, Rl, tl)
+        R_pred = jnp.where(hv, Rp, Rl)
+        t_pred = jnp.where(hv, tp, tl)
+        out = track_full(
+            st, frame, R_pred, t_pred, Rl, tl,
+            luv, ldesc, lobs, lval, loct, ref_kf, cam, cfg,
+        )
+        ok = out.n_inliers >= cfg.tracking.min_inliers_track
+        Rl_inv, tl_inv = se3_inverse(Rl, tl)
+        vR2, vt2 = se3_compose(out.Rcw, out.tcw, Rl_inv, tl_inv)
+        carry2 = (
+            out.Rcw, out.tcw, vR2, vt2, ok,
+            frame.kp_uv, frame.desc, out.obs_point, frame.kp_valid,
+            frame.kp_octave, out.pt_visible, out.pt_found,
+        )
+        return carry2, out.ctrl
+
+    carry0 = (
+        R_last, t_last, vel_R, vel_t, has_vel,
+        last_uv, last_desc, last_obs, last_valid, last_octave,
+        state.pt_visible, state.pt_found,
+    )
+    carry, ctrls = jax.lax.scan(step, carry0, imgs)
+    return ctrls, carry
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))

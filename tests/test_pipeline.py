@@ -224,3 +224,31 @@ def test_full_system_loop_closure():
     # the scale-drifted middle chain resisting the global BA — tightening
     # this to <0.25 is tracked round-2 work (re-track corrected keyframes).
     assert err < 1.0, (err, rel_est, rel_gt)
+
+
+def test_batch_localization_matches_per_frame(sequence):
+    """track_monocular_batch (lax.scan chunk) must reproduce the per-frame
+    localization path: same poses, same map counters, no keyframes added."""
+    world, poses, imgs, cfg = sequence
+    slam = SlamSystem(cfg)
+    for i, img in enumerate(imgs):
+        slam.track_monocular(img, ts=i / 30.0)
+    assert slam.state is TrackingState.OK
+
+    import copy
+
+    slam.activate_localization_mode()
+    ref = copy.copy(slam)   # shallow: map/pose arrays are immutable pytrees
+    ref.trajectory = list(slam.trajectory)
+    ref.stats = dict(slam.stats)
+
+    per_frame = [ref.track_monocular(im, ts=0.0) for im in imgs[:8]]
+    batched = slam.track_monocular_batch(imgs[:8], [0.0] * 8)
+    assert len(batched) == 8
+    for p, b in zip(per_frame, batched):
+        assert p is not None and b is not None
+        np.testing.assert_allclose(np.asarray(p[0]), np.asarray(b[0]),
+                                   atol=1e-3)
+        np.testing.assert_allclose(np.asarray(p[1]), np.asarray(b[1]),
+                                   atol=5e-3)
+    assert slam.n_keyframes == ref.n_keyframes
