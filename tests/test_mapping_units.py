@@ -131,3 +131,69 @@ def test_viz_drawers(tmp_path, rng):
 
     with open(p, "rb") as f:
         assert f.read(8) == b"\x89PNG\r\n\x1a\n"
+
+
+def test_distinctive_descriptors_min_median_hamming(rng):
+    """Exact check against a brute-force NumPy ComputeDistinctiveDescriptors
+    (reference src/MapPoint.cc:271): min-median-Hamming over each point's
+    observed descriptors, self-distance included."""
+    cfg = small_cfg()
+    state = empty_map(cfg)
+    n_kf, n_pts = 5, 6
+    descs = rng.integers(0, 2**32, (n_kf, n_pts, 8), dtype=np.uint32)
+    state = state._replace(
+        pt_valid=state.pt_valid.at[:n_pts].set(True),
+        kf_valid=state.kf_valid.at[:n_kf].set(True),
+    )
+    # KF k observes points 0..n_pts-1-k at feature slots 0..; point p's
+    # observation count varies from n_kf down to 1
+    obs_lists = {p: [] for p in range(n_pts)}
+    for k in range(n_kf):
+        m = n_pts - k
+        state = state._replace(
+            kf_kp_valid=state.kf_kp_valid.at[k, :m].set(True),
+            kf_obs_point=state.kf_obs_point.at[k, :m].set(jnp.arange(m)),
+            kf_desc=state.kf_desc.at[k, :n_pts].set(jnp.asarray(descs[k])),
+        )
+        for p in range(m):
+            obs_lists[p].append(descs[k, p])
+
+    out = mapping.distinctive_descriptors(state, cfg)
+
+    def ham(a, b):
+        return int(
+            np.sum(np.unpackbits((a ^ b).view(np.uint8)))
+        )
+
+    for p in range(n_pts):
+        ds = obs_lists[p]
+        n = len(ds)
+        meds = []
+        for i in range(n):
+            row = sorted(ham(ds[i], ds[j]) for j in range(n))
+            meds.append(row[(n - 1) // 2])
+        expect = ds[int(np.argmin(meds))]
+        np.testing.assert_array_equal(np.asarray(out.pt_desc[p]), expect)
+    # untouched invalid point keeps its (zero) descriptor
+    np.testing.assert_array_equal(np.asarray(out.pt_desc[n_pts + 1]), 0)
+
+
+def test_distinctive_descriptors_same_kf_duplicates(rng):
+    """Fusion can leave two features of ONE keyframe observing the same
+    point; the selection must not corrupt (no zero/garbage descriptors)."""
+    cfg = small_cfg()
+    state = empty_map(cfg)
+    d0 = rng.integers(0, 2**32, (8,), dtype=np.uint32)
+    d1 = rng.integers(0, 2**32, (8,), dtype=np.uint32)
+    state = state._replace(
+        pt_valid=state.pt_valid.at[0].set(True),
+        kf_valid=state.kf_valid.at[0].set(True),
+        kf_kp_valid=state.kf_kp_valid.at[0, :2].set(True),
+        # BOTH features of KF0 observe point 0
+        kf_obs_point=state.kf_obs_point.at[0, 0].set(0).at[0, 1].set(0),
+        kf_desc=state.kf_desc.at[0, 0].set(jnp.asarray(d0))
+        .at[0, 1].set(jnp.asarray(d1)),
+    )
+    out = mapping.distinctive_descriptors(state, cfg)
+    got = np.asarray(out.pt_desc[0])
+    assert (got == d0).all() or (got == d1).all()
