@@ -242,6 +242,15 @@ def compute_sim3(state: MapState, kf_cur, kf_loop, marker_slot,
         max_dist=float(cfg.matcher.th_low), nn_ratio=1.0,
     )
     n_proj = jnp.sum(m3.valid.astype(jnp.int32))
+    import os
+    if os.environ.get("SLAM_DEBUG_LOOP"):
+        jax.debug.print(
+            "SIM3DBG cur_pts={c} loop_pts={l} nn={n} r1a={a} r1b={b} r2={r2} nproj={p}",
+            c=jnp.sum(mask_cur & state.pt_valid[jnp.maximum(cur_obs, 0)]),
+            l=jnp.sum(mask_loop & state.pt_valid[jnp.maximum(loop_obs, 0)]),
+            n=jnp.sum(valid), a=res_a.n_inliers, b=res_b.n_inliers,
+            r2=res2.n_inliers, p=n_proj,
+        )
     ok = ok1 & ok2 & (
         (n_f >= cfg.loop.sim3_min_inliers)
         | (n_proj >= cfg.loop.proj_min_matches)

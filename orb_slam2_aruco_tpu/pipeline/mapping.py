@@ -305,16 +305,20 @@ def triangulate_new_points(
 
 @jax.jit
 def cull_points(state: MapState, current_kf_count, min_found_ratio: float = 0.25):
-    """MapPointCulling (reference src/LocalMapping.cc:185-220): drop points
-    whose found/visible ratio is poor. (The 2-obs-in-2-KF gate needs obs
-    counting — from the point<->KF incidence matrix.)"""
+    """MapPointCulling (reference src/LocalMapping.cc:185-220): drop RECENT
+    points whose found/visible ratio is poor or that gathered too few
+    keyframe observations. Crucially the reference applies both rules only
+    while a point sits in the recently-added list (age <= 3 keyframes since
+    creation); a point that survives its probation is never culled here —
+    established map regions must stay intact for loop-closure matching."""
     ratio = state.pt_found / jnp.maximum(state.pt_visible, 1.0)
     cnt = jnp.sum(
         state.pt_obs_kf & state.kf_valid[None, :], axis=1, dtype=jnp.int32
     )
     age = current_kf_count - jnp.maximum(state.pt_first_kf, 0)
-    bad = state.pt_valid & (
-        (ratio < min_found_ratio) | ((age >= 3) & (cnt <= 2))
+    recent = age <= 3
+    bad = state.pt_valid & recent & (
+        (ratio < min_found_ratio) | ((age >= 2) & (cnt <= 2))
     )
     new_valid = state.pt_valid & ~bad
     # scrub feature->point references to now-invalid slots: point slots are

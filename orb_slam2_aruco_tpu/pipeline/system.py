@@ -438,12 +438,25 @@ class SlamSystem:
         )
         tr = None
         if bool(ok):
-            obs0 = jnp.full((frame.kp_uv.shape[0],), -1, jnp.int32)
-            (tr, (vis, found)) = tracking.track_local_map(
-                self.map, frame, slots, R0, t0, obs0, self.cam, cfg
-            )
-            if int(tr.n_inliers) < cfg.tracking.min_inliers_track:
-                tr = None
+            # the reference matches against the marker's OBSERVING keyframes
+            # and runs TrackLocalMap on that neighborhood (Tracking.cc:1694+)
+            # — never the whole map: a whole-map projection on a revisit
+            # would silently re-link the old area instead of letting loop
+            # closure correct it
+            kf_mk = tracking.marker_observer_kf(self.map, slots)
+            if int(kf_mk) >= 0:
+                tr0 = tracking.track_vs_keyframe(
+                    self.map, frame, slots, kf_mk, R0, t0, self.cam, cfg
+                )
+                pt_local = tracking.local_point_mask(
+                    self.map, tr0.obs_point, cfg.tracking.max_local_keyframes
+                )
+                (tr, (vis, found)) = tracking.track_local_map(
+                    self.map, frame, slots, tr0.Rcw, tr0.tcw, tr0.obs_point,
+                    self.cam, cfg, pt_candidates=pt_local,
+                )
+                if int(tr.n_inliers) < cfg.tracking.min_inliers_track:
+                    tr = None
         if tr is None:
             # BoW relocalization fallback (Relocalization, Tracking.cc:1741+)
             idx, vals, keep = tracking.reloc_candidates(self.map, frame, cfg)
@@ -454,9 +467,14 @@ class SlamSystem:
                     self.map, frame, slots, idx[c], self.cam, cfg
                 )
                 if int(cand.n_inliers) >= cfg.tracking.min_inliers_track:
+                    pt_local = tracking.local_point_mask(
+                        self.map, cand.obs_point,
+                        cfg.tracking.max_local_keyframes,
+                    )
                     (tr, (vis, found)) = tracking.track_local_map(
                         self.map, frame, slots, cand.Rcw, cand.tcw,
                         cand.obs_point, self.cam, cfg,
+                        pt_candidates=pt_local,
                     )
                     if int(tr.n_inliers) >= cfg.tracking.min_inliers_track:
                         break
@@ -466,6 +484,10 @@ class SlamSystem:
         self.map = self.map._replace(pt_visible=vis, pt_found=found)
         self.state = TrackingState.OK
         self.stats["reloc"] += 1
+        import os as _os
+        if _os.environ.get("SLAM_DEBUG_LOOP"):
+            print(f"RELOC fid={fid} marker_ok={bool(ok)} "
+                  f"n_inliers={int(tr.n_inliers)}")
         self.last_frame = frame
         self.last_obs = tr.obs_point
         self.last_pose = (tr.Rcw, tr.tcw)

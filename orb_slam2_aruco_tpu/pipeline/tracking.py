@@ -85,6 +85,22 @@ def old_marker_flags(state: MapState, slots, min_gap: int):
     return (slots >= 0) & (latest_fid >= 0) & (gap >= min_gap)
 
 
+def marker_observer_kf(state: MapState, slots):
+    """Most recent valid keyframe observing any of the bound marker slots
+    (the reference's RelocalizationByAruco iterates the marker's observing
+    keyframes, Tracking.cc:1694+). Returns -1 if none."""
+    valid_slot = slots >= 0
+    eq = (
+        (state.kf_mk_slot[:, :, None] == jnp.maximum(slots, 0)[None, None, :])
+        & state.kf_mk_valid[:, :, None]
+        & valid_slot[None, None, :]
+    ).any(axis=(1, 2))
+    observes = eq & state.kf_valid
+    fid = jnp.where(observes, state.kf_frame_id, -1)
+    k = jnp.argmax(fid)
+    return jnp.where(jnp.any(observes), k, -1).astype(jnp.int32)
+
+
 def _marker_obs_arrays(state: MapState, frame: Frame, slots, old=None):
     """Gather fixed-marker edge inputs for pose optimization: corners_w
     [A, 4, 3], uv [A, 4, 2], mask [A] for frame markers bound to the map.
@@ -499,11 +515,29 @@ def track_full(
         cam, cfg, search_radius=cfg.matcher.search_radius_motion, old=old,
     )
 
+    # widened-window retry (TrackWithMotionModel, Tracking.cc:1010-1015):
+    # fewer than 20 window matches -> search again at twice the radius. This
+    # is what survives sudden velocity reversals, where the constant-velocity
+    # seed points the wrong way and the narrow window finds nothing.
+    need_wide = tr1.n_matches < 20
+
+    def wide_branch(_):
+        return track_frame(
+            state, frame, slots, R0, t0,
+            last_uv, last_desc, last_obs, last_valid, last_octave,
+            cam, cfg, search_radius=2.0 * cfg.matcher.search_radius_motion,
+            old=old,
+        )
+
+    tr1 = jax.lax.cond(need_wide, wide_branch, lambda _: tr1, None)
+
     need_ref = tr1.n_inliers < cfg.tracking.min_inliers_track
 
     def ref_branch(_):
+        # TrackReferenceKeyFrame seeds from the LAST pose, not the motion
+        # prediction (Tracking.cc:910-982 uses mLastFrame.mTcw)
         return track_vs_keyframe(
-            state, frame, slots, ref_kf, R0, t0, cam, cfg, old=old
+            state, frame, slots, ref_kf, R_last, t_last, cam, cfg, old=old
         )
 
     def keep_branch(_):
