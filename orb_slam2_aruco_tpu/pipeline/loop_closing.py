@@ -79,7 +79,18 @@ def detect_loop_by_marker(state: MapState, kf_cur, min_gap: int = 10):
     rank_cur = order_gap[kf_cur]
     cand = cand & ((rank_cur - order_gap[:, None]) >= min_gap)
     any_c = jnp.any(cand)
-    flat = jnp.argmax(cand.astype(jnp.int32))            # earliest by layout
+    # among candidate observers prefer the keyframe with the most surviving
+    # map points: the Sim3 verification projects the loop side's points, so
+    # an observer whose points were all culled/fused away can never verify
+    # (the reference tries EVERY observer in mmIDandKFs, LoopClosing.cc:
+    # 362-483; scoring by point count reaches the same winner in one pass)
+    pts_of_kf = jnp.sum(
+        (state.kf_obs_point >= 0)
+        & state.pt_valid[jnp.maximum(state.kf_obs_point, 0)],
+        axis=1, dtype=jnp.int32,
+    )  # [K]
+    score = jnp.where(cand, pts_of_kf[:, None], -1)      # [K, A]
+    flat = jnp.argmax(score.reshape(-1))
     k_best = flat // A
     a_best = flat % A
     return LoopDetection(
@@ -227,29 +238,58 @@ def compute_sim3(state: MapState, kf_cur, kf_loop, marker_slot,
     t_f = jnp.where(use2, res2.t, res.t)
     n_f = jnp.maximum(res2.n_inliers, res.n_inliers)
 
-    # ---- 2D-3D verification (SearchByProjection >= 30, LoopClosing.cc:476):
-    # project the loop keyframe's map points through the final Sim3 into the
-    # CURRENT image and count descriptor-verified window matches against ALL
-    # current features — a fresh revisit keyframe has few mapped features
-    # yet, but its raw detections still confirm the loop geometry
-    qf = sim3_apply(s_f[None], R_f, t_f, p2_all)
-    uv_pf = cam_mod.project(cam, qf)
-    m3 = matching.match_in_window(
-        state.kf_desc[kf_loop], state.kf_desc[kf_cur], uv_pf,
-        state.kf_kp_uv[kf_cur],
-        radius=7.5,
-        mask_a=loop_ok, mask_b=state.kf_kp_valid[kf_cur],
-        max_dist=float(cfg.matcher.th_low), nn_ratio=1.0,
+    # ---- 2D-3D verification (ComputeSim3ByAruco, LoopClosing.cc:440-476):
+    # the reference collects the map points of the loop keyframe's WHOLE
+    # covisible group, projects them through the candidate S_cur_w into the
+    # current image (SearchByProjection, radius 10), and accepts the loop on
+    # >= 30 descriptor-verified matches. Crucially, on the marker path the
+    # RAW marker-seeded Sim3 is a valid final answer — point-optimization
+    # consensus is never required (the marker is metric). We verify both the
+    # marker seed and the point-refined transform and keep the better one.
+    W = covisibility_matrix(state)
+    K = state.K
+    group = ((W[kf_loop] >= 15) | (jnp.arange(K) == kf_loop)) & state.kf_valid
+    pt_group = (
+        jnp.any(state.pt_obs_kf & group[None, :], axis=1) & state.pt_valid
     )
-    n_proj = jnp.sum(m3.valid.astype(jnp.int32))
+    R_loop_w = state.kf_Rcw[kf_loop]
+    t_loop_w = state.kf_tcw[kf_loop]
+
+    def proj_count(s_c, R_c, t_c):
+        # S_cur_w = S_rel(cur<-loop) * T_loop_w
+        sw, Rw, tw = sim3_compose(
+            s_c, R_c, t_c, jnp.float32(1.0), R_loop_w, t_loop_w
+        )
+        q = sim3_apply(sw[None], Rw, tw, state.pt_xyz)
+        uv_p = cam_mod.project(cam, q)
+        mm = matching.match_in_window(
+            state.pt_desc, state.kf_desc[kf_cur], uv_p,
+            state.kf_kp_uv[kf_cur],
+            radius=10.0,
+            mask_a=pt_group & (q[:, 2] > 0.02),
+            mask_b=state.kf_kp_valid[kf_cur],
+            max_dist=float(cfg.matcher.th_low), nn_ratio=1.0,
+        )
+        return jnp.sum(mm.valid.astype(jnp.int32))
+
+    n_proj_seed = proj_count(s0, R0, t0)
+    n_proj_ref = proj_count(s_f, R_f, t_f)
+    # prefer the refined transform when point consensus backs it; otherwise
+    # fall back to whichever candidate the projection test likes better
+    use_seed = (n_f < cfg.loop.sim3_min_inliers) & (n_proj_seed >= n_proj_ref)
+    s_f = jnp.where(use_seed, s0, s_f)
+    R_f = jnp.where(use_seed, R0, R_f)
+    t_f = jnp.where(use_seed, t0, t_f)
+    n_proj = jnp.maximum(n_proj_seed, n_proj_ref)
     import os
     if os.environ.get("SLAM_DEBUG_LOOP"):
         jax.debug.print(
-            "SIM3DBG cur_pts={c} loop_pts={l} nn={n} r1a={a} r1b={b} r2={r2} nproj={p}",
+            "SIM3DBG cur_pts={c} loop_pts={l} nn={n} r1a={a} r1b={b} r2={r2} "
+            "nproj_seed={ps} nproj_ref={pr}",
             c=jnp.sum(mask_cur & state.pt_valid[jnp.maximum(cur_obs, 0)]),
             l=jnp.sum(mask_loop & state.pt_valid[jnp.maximum(loop_obs, 0)]),
             n=jnp.sum(valid), a=res_a.n_inliers, b=res_b.n_inliers,
-            r2=res2.n_inliers, p=n_proj,
+            r2=res2.n_inliers, ps=n_proj_seed, pr=n_proj_ref,
         )
     ok = ok1 & ok2 & (
         (n_f >= cfg.loop.sim3_min_inliers)

@@ -268,6 +268,11 @@ class SlamSystem:
         n_map_inliers = int(ctrl[0])
         if ctrl[2] > 0.5:
             self.stats["aruco_seeded"] += 1
+        import os as _os
+        if _os.environ.get("SLAM_DEBUG_LOOP"):
+            print(f"TRKDBG fid={fid} map_inl={n_map_inliers} "
+                  f"first={int(ctrl[1])} aruco={ctrl[2]>0.5} "
+                  f"ref_fb={ctrl[3]>0.5}")
         if n_map_inliers < cfg.tracking.min_inliers_track:
             self.state = TrackingState.LOST
             return None
@@ -289,9 +294,18 @@ class SlamSystem:
             weak = n_map_inliers < 50 and since_kf >= 3
             timeout = since_kf >= cfg.tracking.max_frames_between_kf
             if new_good or weak or timeout:
-                self._insert_keyframe(frame, Rcw, tcw, out.obs_point,
-                                      out.slots, fid, ts,
-                                      mk_old=out.old_flags)
+                k_ins = self._insert_keyframe(frame, Rcw, tcw, out.obs_point,
+                                              out.slots, fid, ts,
+                                              mk_old=out.old_flags)
+                if k_ins is not None:
+                    # the mapping phase (local BA / scale correction) may have
+                    # moved this keyframe: the next frame must track from the
+                    # POST-BA pose, or every BA update degrades the motion
+                    # model and local-map projection windows (the reference
+                    # re-derives the last pose from its reference keyframe,
+                    # Tracking::UpdateLastFrame)
+                    Rcw = self.map.kf_Rcw[k_ins]
+                    tcw = self.map.kf_tcw[k_ins]
 
         self.last_frame = frame
         self.last_obs = out.obs_point
@@ -303,7 +317,7 @@ class SlamSystem:
                          mk_old=None):
         cfg = self.cfg
         if self.n_keyframes >= cfg.map.max_keyframes:
-            return
+            return None
         self.map, k = mapping.create_keyframe(
             self.map, frame, Rcw, tcw, obs_point, slots, fid, ts, self.cam,
             cfg, mk_old=mk_old,
@@ -426,6 +440,7 @@ class SlamSystem:
                     self.stats.setdefault("_rej_inl", []).append(
                         int(cand.n_inliers)
                     )
+        return int(k)
 
     # ------------------------------------------------------------------
     def _relocalize(self, frame: Frame, fid: int, ts: float):
