@@ -426,10 +426,16 @@ class SlamSystem:
                             self.map, jnp.asarray(int(k)), self.cam, cfg,
                             restrict_covisible=False,
                         )
+                        # GBA must cover the WHOLE map: selecting only the
+                        # newest keyframes would exclude the loop's anchor
+                        # side (the oldest keyframes) from the correction
+                        # (reference RunGlobalBundleAdjustment optimizes
+                        # every keyframe, LoopClosing.cc:1132-1236)
                         self.map, _ = mapping.bundle_adjust(
                             self.map, jnp.asarray(int(k)), self.cam, cfg,
-                            max_cams=min(32, cfg.map.max_keyframes),
-                            max_pts=2048, iters=10, window_all=True,
+                            max_cams=cfg.map.max_keyframes,
+                            max_pts=min(8192, cfg.map.max_points),
+                            iters=10, window_all=True,
                         )
                     self.last_loop_kf_count = self.n_keyframes
                     self.stats["loops_closed"] += 1
