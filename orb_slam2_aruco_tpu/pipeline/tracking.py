@@ -451,16 +451,20 @@ def track_batch(
     cfg: SlamConfig,
 ):
     """Localization-mode tracking of a CHUNK of consecutive frames as one
-    device program (lax.scan): frame i+1 is seeded by frame i's optimized
-    pose exactly as the host loop would, but without a host round trip per
-    frame — the per-frame dispatch+readback latency amortizes over the
-    chunk. The reference's two-pass CLI drives exactly this localization
-    phase (mono_cvcam.cc:183-235). Returns (ctrls [B, 17], final carry)."""
+    device program: the frontend (ORB pyramid + ArUco detect + BoW) has no
+    cross-frame dependency, so it runs BATCHED over the whole chunk (vmap —
+    one wide pass instead of B sequential narrow ones; at 960x540 a single
+    frame leaves most of the chip idle), and only the pose cascade, which is
+    inherently sequential (frame i+1 is seeded by frame i's optimized pose),
+    runs as a lax.scan. No host round trip per frame — the dispatch+readback
+    latency amortizes over the chunk. The reference's two-pass CLI drives
+    exactly this localization phase (mono_cvcam.cc:183-235).
+    Returns (ctrls [B, 17], final carry)."""
+    frames = jax.vmap(lambda im: make_frame(im, cam, cfg))(imgs)
 
-    def step(carry, img):
+    def step(carry, frame):
         (Rl, tl, vR, vt, hv, luv, ldesc, lobs, lval, loct, vis, found) = carry
         st = state._replace(pt_visible=vis, pt_found=found)
-        frame = make_frame(img, cam, cfg)
         Rp, tp = se3_compose(vR, vt, Rl, tl)
         R_pred = jnp.where(hv, Rp, Rl)
         t_pred = jnp.where(hv, tp, tl)
@@ -483,7 +487,7 @@ def track_batch(
         last_uv, last_desc, last_obs, last_valid, last_octave,
         state.pt_visible, state.pt_found,
     )
-    carry, ctrls = jax.lax.scan(step, carry0, imgs)
+    carry, ctrls = jax.lax.scan(step, carry0, frames)
     return ctrls, carry
 
 
