@@ -111,7 +111,10 @@ class TrackingConfig:
     max_local_keyframes: int = 80     # UpdateLocalKeyFrames cap (Tracking.cc:1609)
     max_frames_between_kf: int = 30   # ~1 s at 30 fps
     min_frames_between_kf: int = 0
-    kf_ref_ratio: float = 0.9         # NeedNewKeyFrame tracked/ref ratio
+    kf_ref_ratio: float = 0.75        # NeedNewKeyFrame tracked/ref ratio
+                                      # (Tracking.cc:1352 — the upstream mono
+                                      # 0.9 override is commented out in the
+                                      # reference fork)
     reloc_min_inliers: int = 50       # PoseOptimization >= 50 (Tracking.cc:1741+)
     reset_if_lost_with_kfs_leq: int = 5
 
@@ -145,6 +148,11 @@ class MapConfig:
     max_points: int = 20000
     max_markers: int = 64
     max_obs_per_point: int = 24       # per-point observation slots
+    triangulation_neighbors: int = 8  # top-N covisible KFs searched for new
+                                      # points (reference top-20,
+                                      # LocalMapping.cc:222-229; 8 keeps the
+                                      # fused insert program small — raise for
+                                      # wide-baseline rigs)
     covis_edge_min: int = 15          # covisibility edge threshold (KeyFrame.cc:386)
     cull_found_ratio: float = 0.25    # MapPointCulling (LocalMapping.cc:185)
     kf_cull_redundancy: float = 0.9   # KeyFrameCulling 90% rule

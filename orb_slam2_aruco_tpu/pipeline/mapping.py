@@ -141,10 +141,25 @@ def triangulate_new_points(
     cfg: SlamConfig,
     max_new: int = 256,
 ):
-    """Two-view triangulation between a new keyframe and a neighbor
+    """Two-view triangulation between a new keyframe and one neighbor
     (CreateNewMapPoints, reference src/LocalMapping.cc:222-467): match
     features without map points, epipolar-gate, DLT, cheirality/reproj/
     scale gates, allocate point slots."""
+    return _triangulate_pair(state, kf_new, kf_prev, cam, cfg, max_new,
+                             enable=jnp.asarray(True))
+
+
+def _triangulate_pair(
+    state: MapState,
+    kf_new, kf_prev,
+    cam: Camera,
+    cfg: SlamConfig,
+    max_new: int,
+    enable,
+):
+    """Traced body of two-view triangulation; `enable` (traced bool) masks
+    the whole allocation so a caller can loop over a fixed neighbor list
+    with invalid tail entries (triangulate_vs_covisible)."""
     N = state.kf_kp_uv.shape[1]
     d_new = state.kf_desc[kf_new]
     d_prev = state.kf_desc[kf_prev]
@@ -218,6 +233,7 @@ def triangulate_new_points(
     )
     good = (
         m.valid
+        & enable
         & jnp.all(jnp.isfinite(xyz), axis=-1)
         & (z1 > 0.02)
         & (z2 > 0.02)
@@ -296,6 +312,62 @@ def triangulate_new_points(
         pt_obs_kf=pt_obs_kf,
     )
     return state, jnp.sum(can.astype(jnp.int32))
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "n_neighbors", "max_new")
+)
+def triangulate_vs_covisible(
+    state: MapState,
+    kf_new,
+    cam: Camera,
+    cfg: SlamConfig,
+    n_neighbors: int = 8,
+    max_new: int = 256,
+):
+    """Triangulate the new keyframe against its top-N covisible neighbors in
+    ONE device program (reference CreateNewMapPoints takes the top-20
+    covisible keyframes, src/LocalMapping.cc:222-229, and skips neighbors
+    whose baseline is < 1% of their scene depth, :248-260 — the reference
+    uses the median scene depth; the mean is used here as a cheap,
+    jit-friendly proxy).
+
+    Returns (state, n_created_total)."""
+    # covisibility ranking: shared valid map points with every keyframe
+    row_new = state.pt_obs_kf[:, kf_new] & state.pt_valid        # [L]
+    inc = state.pt_obs_kf & state.kf_valid[None, :]              # [L, K]
+    share = jnp.dot(
+        row_new.astype(jnp.float32), inc.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    )                                                            # [K]
+    K = state.K
+    kiota = jnp.arange(K, dtype=jnp.int32)
+    share = jnp.where((kiota == kf_new) | ~state.kf_valid, 0.0, share)
+    # baseline / scene-depth gate per neighbor
+    _, c_new = se3_inverse(state.kf_Rcw[kf_new], state.kf_tcw[kf_new])
+    _, c_all = se3_inverse(state.kf_Rcw, state.kf_tcw)           # [K, 3]
+    baseline = jnp.linalg.norm(c_all - c_new[None], axis=-1)     # [K]
+    # mean depth of each keyframe's observed points in its camera frame
+    z_all = jnp.einsum(
+        "kj,lj->lk", state.kf_Rcw[:, 2, :], state.pt_xyz
+    ) + state.kf_tcw[None, :, 2]                                 # [L, K]
+    obs_v = inc & state.pt_valid[:, None]
+    depth_sum = jnp.sum(jnp.where(obs_v, z_all, 0.0), axis=0)
+    depth_cnt = jnp.maximum(jnp.sum(obs_v.astype(jnp.float32), axis=0), 1.0)
+    mean_depth = depth_sum / depth_cnt
+    ratio_ok = baseline / jnp.maximum(mean_depth, 1e-6) > 0.01
+    share = jnp.where(ratio_ok, share, 0.0)
+    top_w, top_idx = jax.lax.top_k(share, n_neighbors)
+
+    def body(i, carry):
+        st, total = carry
+        nb = top_idx[i]
+        ok = top_w[i] > 0
+        st, n = _triangulate_pair(st, kf_new, nb, cam, cfg, max_new,
+                                  enable=ok)
+        return st, total + n
+
+    return jax.lax.fori_loop(0, n_neighbors, body, (state, jnp.int32(0)))
 
 
 # ---------------------------------------------------------------------------
@@ -509,14 +581,20 @@ def bundle_adjust(
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
-def cull_keyframes(state: MapState, keep_kf, cfg: SlamConfig):
+def cull_keyframes(state: MapState, keep_kf, cfg: SlamConfig, force=False):
     """KeyFrameCulling (reference src/LocalMapping.cc:1000-1082): a keyframe
     is redundant if >= 90% of its map points are observed by >= 3 other
     keyframes; keep it anyway if it observes a marker with <= 5 total
     observations (the marker-protection rule, LocalMapping.cc:1061-1079).
     `keep_kf` (the current KF) and the map's first keyframe are never culled.
     At most one keyframe is culled per call (like one pass of the reference's
-    loop over local keyframes)."""
+    loop over local keyframes).
+
+    `force` (traced bool): when the keyframe pool is at capacity the engine
+    must evict SOMETHING before it can insert (the reference's map grows
+    unboundedly; a fixed slot pool cannot) — with force=True the
+    most-redundant eligible keyframe is culled even below the 90% gate.
+    Rare-marker observers and the first keyframe stay protected."""
     K, N = state.kf_obs_point.shape
     L = state.L
     from orb_slam2_aruco_tpu.optim.segsum import segment_sum_sorted
@@ -553,15 +631,20 @@ def cull_keyframes(state: MapState, keep_kf, cfg: SlamConfig):
     first_kf = jnp.argmin(
         jnp.where(state.kf_valid, state.kf_frame_id, jnp.int32(2**30))
     )
+    eligible = state.kf_valid & ~sees_rare
+    eligible = eligible.at[keep_kf].set(False).at[first_kf].set(False)
     candidate = (
-        state.kf_valid
-        & (ratio > cfg.map.kf_cull_redundancy)
-        & (n_pts > 10)
-        & ~sees_rare
+        eligible & (ratio > cfg.map.kf_cull_redundancy) & (n_pts > 10)
     )
-    candidate = candidate.at[keep_kf].set(False).at[first_kf].set(False)
-    any_c = jnp.any(candidate)
-    victim = jnp.argmax(candidate.astype(jnp.int32))
+    # score: 90%-redundant candidates always beat forced evictions; among
+    # forced evictions the highest redundancy ratio goes first
+    score = jnp.where(
+        candidate,
+        2.0 + ratio,
+        jnp.where(eligible & jnp.asarray(force), ratio, -1.0),
+    )
+    any_c = jnp.max(score) >= 0.0
+    victim = jnp.argmax(score)
     kf_valid = jnp.where(
         any_c, state.kf_valid.at[victim].set(False), state.kf_valid
     )
@@ -629,44 +712,72 @@ def aruco_plane_update(state: MapState, kf, cam: Camera, cfg: SlamConfig):
     )(quads)                                         # [A, N]
     w0 = inside & has_pt[None, :]                    # [A, N]
 
-    def fit_plane(w):
-        wf = w.astype(jnp.float32)
-        cnt = jnp.maximum(jnp.sum(wf), 1.0)
-        mu = jnp.sum(X * wf[:, None], axis=0) / cnt
-        d = (X - mu) * wf[:, None]
-        C = d.T @ d
-        evals, evecs = jnp.linalg.eigh(C)
-        n = evecs[:, 0]
-        return mu, n
-
-    def fit_trimmed(w):
-        mu, n = fit_plane(w)
-        # drop the worst 30% by plane distance, refit
-        dist = jnp.abs((X - mu) @ n)
-        dist = jnp.where(w, dist, jnp.inf)
-        cnt = jnp.sum(w.astype(jnp.int32))
-        kth = jnp.quantile(jnp.where(w, dist, jnp.nan), 0.7)
-        w2 = w & (dist <= jnp.where(jnp.isnan(kth), jnp.inf, kth))
-        return fit_plane(w2)
-
-    mu, nrm = jax.vmap(fit_trimmed)(w0)              # [A, 3], [A, 3]
     n_in = jnp.sum(w0, axis=1)
     enough = n_in >= cfg.aruco.plane_fit_min_points
+
+    # RANSAC plane hypotheses (the reference fits cntMPok/2 random 5-point
+    # planes, LocalMapping.cc:566-607): H hypotheses per marker, each a
+    # 5-point least-squares plane; the WINNING hypothesis is the one whose
+    # ray-intersected marker corners give the most EQUAL side lengths — the
+    # reference accepts a hypothesis only when max|l_i - mean| < 0.015 m
+    # (:614-618), which is what rejects tilted planes fitted through
+    # mismatched points (a tilted plane yields a skewed quad).
+    H = 16
+    key = jax.random.fold_in(jax.random.PRNGKey(17), kf)
+    logits = jnp.where(w0, 0.0, -jnp.inf)            # [A, N]
+    # guard fully-empty rows (categorical over -inf only -> garbage index;
+    # masked out by `enough` downstream)
+    logits = jnp.where(
+        jnp.any(w0, axis=1, keepdims=True), logits, 0.0
+    )
+    samp = jax.random.categorical(
+        key, logits[:, None, :], axis=-1, shape=(A, H, 5)
+    )                                                # [A, H, 5] point indices
+
+    def fit5(idx):
+        P5 = X[idx]                                  # [5, 3]
+        mu = jnp.mean(P5, axis=0)
+        d = P5 - mu
+        C = d.T @ d
+        _, evecs = jnp.linalg.eigh(C)
+        return mu, evecs[:, 0]
+
+    mu_h, nrm_h = jax.vmap(jax.vmap(fit5))(samp)     # [A, H, 3] x2
 
     # corner rays: world direction through each observed corner pixel
     xn = cam_mod.pixels_to_normalized(cam, quads)    # [A, 4, 2]
     d_cam = jnp.concatenate([xn, jnp.ones_like(xn[..., :1])], axis=-1)
     d_w = jnp.einsum("ij,acj->aci", Rwc, d_cam)      # [A, 4, 3]
-    denom = jnp.einsum("aci,ai->ac", d_w, nrm)
+    denom = jnp.einsum("aci,ahi->ahc", d_w, nrm_h)
     denom = jnp.where(jnp.abs(denom) < 1e-9, 1e-9, denom)
-    lam = jnp.einsum("ai,ai->a", mu - twc[None, :], nrm)[:, None] / denom
-    corners3d = twc[None, None, :] + lam[..., None] * d_w  # [A, 4, 3]
-    sides = jnp.linalg.norm(
-        corners3d - jnp.roll(corners3d, -1, axis=1), axis=-1
-    )                                                # [A, 4]
-    mean_len = jnp.mean(sides, axis=1)
-    len_ok = enough & mk_obs_ok & (lam > 0.05).all(axis=1) & jnp.isfinite(
-        mean_len
+    lam_h = (
+        jnp.einsum("ahi,ahi->ah", mu_h - twc[None, None, :], nrm_h)[..., None]
+        / denom
+    )                                                # [A, H, 4]
+    corners_h = (
+        twc[None, None, None, :] + lam_h[..., None] * d_w[:, None]
+    )                                                # [A, H, 4, 3]
+    sides_h = jnp.linalg.norm(
+        corners_h - jnp.roll(corners_h, -1, axis=2), axis=-1
+    )                                                # [A, H, 4]
+    mean_h = jnp.mean(sides_h, axis=-1)
+    maxdiff_h = jnp.max(jnp.abs(sides_h - mean_h[..., None]), axis=-1)
+    cheir_h = (lam_h > 0.05).all(axis=-1) & jnp.isfinite(mean_h)
+    maxdiff_h = jnp.where(cheir_h, maxdiff_h, jnp.inf)
+    best = jnp.argmin(maxdiff_h, axis=1)             # [A]
+    take = lambda arr: jnp.take_along_axis(
+        arr, best.reshape((A,) + (1,) * (arr.ndim - 1)), axis=1
+    )[:, 0]
+    nrm = take(nrm_h)                                # [A, 3]
+    mean_len = take(mean_h)
+    maxdiff = take(maxdiff_h)
+    lam = take(lam_h)
+    len_ok = (
+        enough
+        & mk_obs_ok
+        & (lam > 0.05).all(axis=1)
+        & jnp.isfinite(mean_len)
+        & (maxdiff < cfg.aruco.scale_corr_max_len_diff)
     )
 
     # accumulate per-marker measured length
@@ -685,15 +796,27 @@ def aruco_plane_update(state: MapState, kf, cam: Camera, cfg: SlamConfig):
         jnp.linalg.norm(nrm, axis=1), 1e-9
     )
     ang = jnp.degrees(jnp.arccos(jnp.clip(cosang, 0.0, 1.0)))  # 0..90
-    well = len_ok & (ang < cfg.aruco.plane_angle_good_deg)
-    bad = len_ok & (ang > cfg.aruco.plane_angle_bad_lo_deg)
+    # old/loop markers never promote or demote (reference gates both with
+    # isIdxArucoOld(i)==false, LocalMapping.cc:620-633)
+    not_old = ~state.kf_mk_old[kf]
+    well = len_ok & not_old & (ang < cfg.aruco.plane_angle_good_deg)
+    bad = len_ok & not_old & (ang > cfg.aruco.plane_angle_bad_lo_deg)
+    import os as _os
+    if _os.environ.get("SLAM_DEBUG_PLANE"):
+        jax.debug.print(
+            "PLANEDBG slots={s} n_in={n} ang={a} len={l} well={w} bad={b}",
+            s=mk_slots, n=n_in, a=ang, l=mean_len, w=well, b=bad,
+        )
     mk_well = jnp.concatenate([state.mk_well, jnp.zeros((1,), bool)]).at[
         jnp.where(well, slots_safe, state.M)
     ].set(True)[: state.M]
     mk_nbad = jnp.concatenate([state.mk_nbad, jnp.zeros((1,), jnp.int32)]).at[
         jnp.where(bad, slots_safe, state.M)
     ].add(1)[: state.M]
-    strike_out = mk_nbad >= cfg.aruco.max_bad_computed
+    # a marker that has EVER been well-computed is immune to strike-out
+    # (reference: SetBadFlag only if nBadComputed>=3 && !isWellComputed,
+    # LocalMapping.cc:639-644)
+    strike_out = (mk_nbad >= cfg.aruco.max_bad_computed) & ~mk_well
     mk_valid = state.mk_valid & ~strike_out
 
     # ---- one-shot scale correction (keypoint-init only) ------------------

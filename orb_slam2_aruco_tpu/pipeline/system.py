@@ -56,6 +56,7 @@ class SlamSystem:
         self.frame_id = 0
         self.n_keyframes = 0
         self.last_kf_frame_id = -(10**9)
+        self.last_reloc_frame_id = -(10**9)
         self.ref_kf = 0
         self.last_kf_slot = -1
         self.prev_kf_slot = -1
@@ -92,6 +93,17 @@ class SlamSystem:
             pose = self._track(frame, fid, ts)
         else:
             pose = self._relocalize(frame, fid, ts)
+
+        # lost soon after initialization => full reset (reference
+        # Tracking.cc:458-466: LOST with <=5 keyframes resets the system
+        # instead of relocalizing forever). Skipped in localization-only
+        # mode, where the map is externally provided and must survive.
+        if (
+            self.state is TrackingState.LOST
+            and not self.localization_only
+            and self.n_keyframes <= self.cfg.tracking.reset_if_lost_with_kfs_leq
+        ):
+            self.reset()
 
         Rcw, tcw = pose if pose is not None else (np.eye(3, dtype=np.float32),
                                                   np.zeros(3, dtype=np.float32))
@@ -132,7 +144,7 @@ class SlamSystem:
         poses = []
         lost_at = B
         for j in range(B):
-            if c[j, 0] < self.cfg.tracking.min_inliers_track:
+            if c[j, 0] < self.cfg.tracking.min_matches_local_map:
                 lost_at = j
                 break
             Rcw = c[j, 5:14].reshape(3, 3)
@@ -273,12 +285,27 @@ class SlamSystem:
             print(f"TRKDBG fid={fid} map_inl={n_map_inliers} "
                   f"first={int(ctrl[1])} aruco={ctrl[2]>0.5} "
                   f"ref_fb={ctrl[3]>0.5}")
-        if n_map_inliers < cfg.tracking.min_inliers_track:
+        # TrackLocalMap success gates (reference Tracking.cc:1286-1292):
+        # < 30 inliers fails; < 50 fails if relocalized within the last
+        # mMaxFrames frames
+        recently_reloc = (
+            fid < self.last_reloc_frame_id + cfg.tracking.max_frames_between_kf
+        )
+        min_ok = (
+            cfg.tracking.reloc_min_inliers
+            if recently_reloc
+            else cfg.tracking.min_matches_local_map
+        )
+        if n_map_inliers < min_ok:
             self.state = TrackingState.LOST
             return None
         self.map = self.map._replace(
             pt_visible=out.pt_visible, pt_found=out.pt_found
         )
+        # reference keyframe re-targeted to the most-sharing local keyframe
+        # every frame (reference UpdateLocalKeyFrames, Tracking.cc:1588-1593)
+        if int(ctrl[19]) >= 0:
+            self.ref_kf = int(ctrl[19])
         Rcw, tcw = out.Rcw, out.tcw
         Rcw_np = ctrl[5:14].reshape(3, 3)
         tcw_np = ctrl[14:17]
@@ -287,13 +314,29 @@ class SlamSystem:
         Rl_inv, tl_inv = se3_inverse(*self.last_pose)
         self.vel = se3_compose(Rcw, tcw, Rl_inv, tl_inv)
 
-        # keyframe decision (NeedNewKeyFrame, Tracking.cc:1296-1392)
+        # keyframe decision (NeedNewKeyFrame, Tracking.cc:1296-1392):
+        #  * a new good marker not yet in the map always inserts (:1305-1315)
+        #  * no insert right after relocalization when the map is mature
+        #  * (c1a: >= mMaxFrames since last KF | c1b: >= mMinFrames and the
+        #    mapping phase is idle — always true here, mapping runs as a
+        #    sequential phase) AND c2: inliers < thRefRatio * nRefMatches
+        #    with inliers > 15 (thRefRatio = 0.4 while the map has < 2 KFs)
         if not self.localization_only:
             new_good = ctrl[4] > 0.5
             since_kf = fid - self.last_kf_frame_id
-            weak = n_map_inliers < 50 and since_kf >= 3
-            timeout = since_kf >= cfg.tracking.max_frames_between_kf
-            if new_good or weak or timeout:
+            nkfs = self.n_keyframes
+            max_f = cfg.tracking.max_frames_between_kf
+            n_ref = int(ctrl[18] if nkfs <= 2 else ctrl[17])
+            th_ratio = 0.4 if nkfs < 2 else cfg.tracking.kf_ref_ratio
+            reloc_block = recently_reloc and nkfs > max_f
+            c1a = since_kf >= max_f
+            c1b = since_kf >= cfg.tracking.min_frames_between_kf
+            c2 = n_map_inliers < n_ref * th_ratio and n_map_inliers > 15
+            if _os.environ.get("SLAM_DEBUG_KF"):
+                print(f"KFDBG fid={fid} inl={n_map_inliers} n_ref={n_ref} "
+                      f"since={since_kf} c1a={c1a} c1b={c1b} c2={c2} "
+                      f"block={reloc_block} new_good={bool(new_good)}")
+            if new_good or ((c1a or c1b) and c2 and not reloc_block):
                 k_ins = self._insert_keyframe(frame, Rcw, tcw, out.obs_point,
                                               out.slots, fid, ts,
                                               mk_old=out.old_flags)
@@ -317,7 +360,22 @@ class SlamSystem:
                          mk_old=None):
         cfg = self.cfg
         if self.n_keyframes >= cfg.map.max_keyframes:
-            return None
+            # pool at capacity: force-cull the most redundant keyframe so the
+            # map keeps tracking on long sequences instead of silently
+            # refusing inserts (the fixed-slot analogue of the reference's
+            # unbounded growth + KeyFrameCulling)
+            self.map, victim = mapping.cull_keyframes(
+                self.map, jnp.asarray(self.last_kf_slot), cfg, force=True
+            )
+            v = int(victim)
+            if v < 0:
+                return None  # everything protected (tiny maps only)
+            self.n_keyframes -= 1
+            self.stats["kf_culled"] = self.stats.get("kf_culled", 0) + 1
+            if v == self.prev_kf_slot:
+                self.prev_kf_slot = self.last_kf_slot
+            if v == self.ref_kf:
+                self.ref_kf = self.last_kf_slot
         self.map, k = mapping.create_keyframe(
             self.map, frame, Rcw, tcw, obs_point, slots, fid, ts, self.cam,
             cfg, mk_old=mk_old,
@@ -330,16 +388,14 @@ class SlamSystem:
         self.last_kf_slot = int(k)
         self.last_kf_frame_id = fid
         self.ref_kf = int(k)
-        # triangulate against the two most recent neighbors (the reference
-        # searches the top-20 covisible KFs, LocalMapping.cc:222-229; two
-        # baselines already recover most of that yield and keep this phase
-        # two fixed-shape dispatches)
-        for nb in (prev, prev2):
-            if nb >= 0 and nb != int(k):
-                self.map, n_new = mapping.triangulate_new_points(
-                    self.map, k, jnp.asarray(nb), self.cam, cfg, max_new=256
-                )
-                self.stats["pts_created"] += int(n_new)
+        # triangulate against the top-N covisible neighbors in one dispatch
+        # (reference searches the top-20 covisible KFs, LocalMapping.cc:
+        # 222-229, with the baseline/scene-depth > 1% neighbor gate)
+        self.map, n_new = mapping.triangulate_vs_covisible(
+            self.map, k, self.cam, cfg,
+            n_neighbors=cfg.map.triangulation_neighbors, max_new=256,
+        )
+        self.stats["pts_created"] += int(n_new)
         self.map, _ = mapping.cull_points(
             self.map, jnp.asarray(self.n_keyframes, jnp.int32),
             cfg.map.cull_found_ratio,
@@ -403,6 +459,11 @@ class SlamSystem:
                 self.stats["loops_detected"] = (
                     self.stats.get("loops_detected", 0) + 1
                 )
+                import os as _os
+                if _os.environ.get("SLAM_DEBUG_LOOP"):
+                    print(f"LOOPDBG fid={fid} kf={int(k)} "
+                          f"kf_loop={int(det.kf_loop)} "
+                          f"marker_slot={int(det.marker_slot)}")
                 if int(det.marker_slot) >= 0:
                     cand = loop_closing.compute_sim3(
                         self.map, jnp.asarray(int(k)), det.kf_loop,
@@ -469,14 +530,17 @@ class SlamSystem:
                 tr0 = tracking.track_vs_keyframe(
                     self.map, frame, slots, kf_mk, R0, t0, self.cam, cfg
                 )
-                pt_local = tracking.local_point_mask(
+                pt_local, _ = tracking.local_point_mask(
                     self.map, tr0.obs_point, cfg.tracking.max_local_keyframes
                 )
                 (tr, (vis, found)) = tracking.track_local_map(
                     self.map, frame, slots, tr0.Rcw, tr0.tcw, tr0.obs_point,
                     self.cam, cfg, pt_candidates=pt_local,
                 )
-                if int(tr.n_inliers) < cfg.tracking.min_inliers_track:
+                # acceptance = the reference's recently-relocalized
+                # TrackLocalMap gate: >= 50 local-map inliers
+                # (Tracking.cc:1286-1288, reloc_min_inliers)
+                if int(tr.n_inliers) < cfg.tracking.reloc_min_inliers:
                     tr = None
         if tr is None:
             # BoW relocalization fallback (Relocalization, Tracking.cc:1741+)
@@ -487,8 +551,11 @@ class SlamSystem:
                 cand = tracking.reloc_pnp(
                     self.map, frame, slots, idx[c], self.cam, cfg
                 )
+                # nGood >= 10 to bother augmenting (Tracking.cc:1848), then
+                # the projection-augmented pose must reach >= 50 inliers
+                # (Tracking.cc:1856-1895)
                 if int(cand.n_inliers) >= cfg.tracking.min_inliers_track:
-                    pt_local = tracking.local_point_mask(
+                    pt_local, _ = tracking.local_point_mask(
                         self.map, cand.obs_point,
                         cfg.tracking.max_local_keyframes,
                     )
@@ -497,7 +564,7 @@ class SlamSystem:
                         cand.obs_point, self.cam, cfg,
                         pt_candidates=pt_local,
                     )
-                    if int(tr.n_inliers) >= cfg.tracking.min_inliers_track:
+                    if int(tr.n_inliers) >= cfg.tracking.reloc_min_inliers:
                         break
                     tr = None
         if tr is None:
@@ -505,6 +572,7 @@ class SlamSystem:
         self.map = self.map._replace(pt_visible=vis, pt_found=found)
         self.state = TrackingState.OK
         self.stats["reloc"] += 1
+        self.last_reloc_frame_id = fid
         import os as _os
         if _os.environ.get("SLAM_DEBUG_LOOP"):
             print(f"RELOC fid={fid} marker_ok={bool(ok)} "
@@ -529,6 +597,7 @@ class SlamSystem:
         self.state = TrackingState.NO_IMAGES_YET
         self.n_keyframes = 0
         self.last_kf_frame_id = -(10**9)
+        self.last_reloc_frame_id = -(10**9)
         self.last_frame = None
         self.last_obs = None
         self.last_pose = None

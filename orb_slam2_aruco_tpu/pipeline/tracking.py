@@ -171,11 +171,16 @@ def _point_world_arrays(state: MapState, obs_point):
 
 
 def local_point_mask(state: MapState, obs_point, max_local_kfs: int):
-    """[L] bool: points observed by the covisibility-local keyframe set —
-    the keyframes sharing map points with the current frame, capped at
+    """([L] bool, best_kf): points observed by the covisibility-local keyframe
+    set — the keyframes sharing map points with the current frame, capped at
     max_local_kfs by share count (UpdateLocalKeyFrames <=80,
     Tracking.cc:1555-1663). Two passes over the [L, K] point<->KF incidence
-    matrix (MXU-friendly; no sorts or large scatters)."""
+    matrix (MXU-friendly; no sorts or large scatters).
+
+    best_kf is the keyframe sharing the MOST points with the current frame
+    (-1 if none) — the reference re-targets mpReferenceKF to it every frame
+    (Tracking.cc:1588-1593 pKFmax), which NeedNewKeyFrame's nRefMatches and
+    the reference-KF fallback seed then use."""
     K = state.K
     L = state.L
     obs_set = jnp.zeros((L,), bool).at[jnp.maximum(obs_point, 0)].max(
@@ -189,8 +194,11 @@ def local_point_mask(state: MapState, obs_point, max_local_kfs: int):
     kth = jax.lax.top_k(share, min(max_local_kfs, K))[0][-1]
     local_kf = (share > 0) & (share >= kth) & state.kf_valid
     mask = jnp.any(inc & local_kf[None, :], axis=1)
+    best_kf = jnp.where(
+        jnp.any(local_kf), jnp.argmax(share).astype(jnp.int32), -1
+    )
     # no local keyframes (e.g. empty first-stage): fall back to all points
-    return jnp.where(jnp.any(local_kf), mask, jnp.ones((L,), bool))
+    return jnp.where(jnp.any(local_kf), mask, jnp.ones((L,), bool)), best_kf
 
 
 def _optimize(state, frame, slots, Rcw0, tcw0, obs_point, cam, cfg: SlamConfig,
@@ -385,6 +393,16 @@ def track_local_map(
     cand = visible & ~already
     if pt_candidates is not None:
         cand = cand & pt_candidates
+    # predicted observation octave from the scale-invariance band
+    # (MapPoint::PredictScale, reference src/MapPoint.cc:414): the search
+    # radius grows with the predicted octave exactly like the reference's
+    # SearchLocalPoints windows (ORBmatcher.cc:45-138) — a fixed pixel
+    # radius starves coarse-octave points of matches
+    sf = cfg.orb.scale_factor
+    lvl_ratio = jnp.maximum(state.pt_max_dist, 1e-6) / jnp.maximum(dist, 1e-6)
+    oct_pred = jnp.clip(
+        jnp.ceil(jnp.log(lvl_ratio) / jnp.log(sf)), 0, cfg.orb.num_levels - 1
+    ).astype(jnp.int32)                                           # [L]
     # compact the candidate set before matching: the local map holds a few
     # thousand points at most, so the [L, N] distance/window matrices would
     # be mostly masked-out work for large L
@@ -396,8 +414,10 @@ def track_local_map(
     m = matching.match_in_window(
         state.pt_desc[cidx], frame.desc, uv_pred[cidx], frame.kp_uv,
         radius=cfg.matcher.search_radius_map
-        * (cfg.orb.scale_factor ** jnp.zeros((C,))),  # base radius; octave-free
+        * (sf ** oct_pred[cidx].astype(jnp.float32)),
         mask_a=csel, mask_b=feat_free,
+        octave_a=oct_pred[cidx], octave_b=frame.kp_octave,
+        max_octave_diff=1,
         max_dist=float(cfg.matcher.th_high),
         nn_ratio=cfg.matcher.nn_ratio_tracking,
     )
@@ -432,11 +452,17 @@ class FullTrackResult(NamedTuple):
     any_new_marker: jnp.ndarray  # bool — fresh good marker in view
     pt_visible: jnp.ndarray      # updated map counters
     pt_found: jnp.ndarray
-    ctrl: jnp.ndarray            # [17] f32: everything the host loop needs in
+    ctrl: jnp.ndarray            # [20] f32: everything the host loop needs in
                                  # ONE device->host read (this environment's
                                  # relay has ~1 s per-readback latency):
                                  # [n_inl, n_first, aruco, refkf, new_mk,
-                                 #  Rcw(9), tcw(3)]
+                                 #  Rcw(9), tcw(3), n_ref_matches3,
+                                 #  n_ref_matches2, ref_kf] — tail fields are
+                                 # the reference-KF tracked-point counts at
+                                 # minObs=3/2 (NeedNewKeyFrame inputs,
+                                 # Tracking.cc:1323-1329) and the UPDATED
+                                 # reference keyframe slot
+                                 # (UpdateLocalKeyFrames pKFmax)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
@@ -472,7 +498,7 @@ def track_batch(
             st, frame, R_pred, t_pred, Rl, tl,
             luv, ldesc, lobs, lval, loct, ref_kf, cam, cfg,
         )
-        ok = out.n_inliers >= cfg.tracking.min_inliers_track
+        ok = out.n_inliers >= cfg.tracking.min_matches_local_map
         Rl_inv, tl_inv = se3_inverse(Rl, tl)
         vR2, vt2 = se3_compose(out.Rcw, out.tcw, Rl_inv, tl_inv)
         carry2 = (
@@ -549,7 +575,7 @@ def track_full(
 
     tr = jax.lax.cond(need_ref, ref_branch, keep_branch, None)
 
-    pt_local = local_point_mask(
+    pt_local, best_kf = local_point_mask(
         state, tr.obs_point, cfg.tracking.max_local_keyframes
     )
     (tr2, (vis, found)) = track_local_map(
@@ -557,6 +583,20 @@ def track_full(
         pt_candidates=pt_local,
     )
     any_new = jnp.any(frame.mk_good & frame.mk_valid & (slots < 0))
+    # reference-KF tracked-point counts (nRefMatches = TrackedMapPoints(minObs),
+    # reference KeyFrame.cc / Tracking.cc:1323-1329) for NeedNewKeyFrame —
+    # counted on the UPDATED reference keyframe (UpdateLocalKeyFrames runs
+    # before NeedNewKeyFrame in the reference)
+    ref_kf = jnp.where(best_kf >= 0, best_kf, ref_kf)
+    ref_obs = state.kf_obs_point[ref_kf]                        # [N]
+    ref_obs_safe = jnp.maximum(ref_obs, 0)
+    ref_pt_ok = (ref_obs >= 0) & state.pt_valid[ref_obs_safe]
+    obs_count = jnp.sum(
+        (state.pt_obs_kf & state.kf_valid[None, :]).astype(jnp.int32), axis=1
+    )                                                           # [L]
+    ref_cnt = obs_count[ref_obs_safe]
+    n_ref3 = jnp.sum((ref_pt_ok & (ref_cnt >= 3)).astype(jnp.int32))
+    n_ref2 = jnp.sum((ref_pt_ok & (ref_cnt >= 2)).astype(jnp.int32))
     ctrl = jnp.concatenate([
         jnp.stack([
             tr2.n_inliers.astype(jnp.float32),
@@ -567,6 +607,8 @@ def track_full(
         ]),
         tr2.Rcw.reshape(9),
         tr2.tcw,
+        jnp.stack([n_ref3.astype(jnp.float32), n_ref2.astype(jnp.float32),
+                   ref_kf.astype(jnp.float32)]),
     ])
     return FullTrackResult(
         Rcw=tr2.Rcw, tcw=tr2.tcw, obs_point=tr2.obs_point,

@@ -80,6 +80,13 @@ def test_full_pipeline_tracks_sequence(sequence):
 
 def test_relocalization_after_blackout(sequence):
     world, poses, imgs, cfg = sequence
+    # disable the lost-soon-after-init auto-reset (Tracking.cc:458-466) so
+    # the short 10-frame map survives the blackout and relocalization runs
+    # (auto-reset itself is covered by test_auto_reset_when_lost_early)
+    import dataclasses
+    cfg = cfg.replace(
+        tracking=dataclasses.replace(cfg.tracking, reset_if_lost_with_kfs_leq=0)
+    )
     slam = SlamSystem(cfg)
     for i, img in enumerate(imgs[:10]):
         slam.track_monocular(img, ts=i / 30.0)
@@ -168,9 +175,18 @@ def test_full_system_loop_closure():
     """Drive the camera away from the start area and back: the marker-id loop
     detector must fire through the full system and correct the map."""
     cfg = small_config()
+    # reference-gate tracking (>= 30 local-map inliers) needs a healthier
+    # feature budget than the other tests' 400 on this long noise-texture pan
+    cfg = cfg.replace(orb=cfg.orb.__class__(num_features=700))
     cfg = cfg.replace(
         loop=cfg.loop.__class__(min_kfs_between_loops=6),
-        tracking=cfg.tracking.__class__(max_frames_between_kf=2),
+        # force a keyframe every 2 frames: kf_ref_ratio=2 makes the
+        # NeedNewKeyFrame c2 gate (inliers < ratio*refMatches) always pass,
+        # and min_frames_between_kf=2 paces c1b — the loop detector needs a
+        # dense keyframe chain on this short synthetic pan
+        tracking=cfg.tracking.__class__(max_frames_between_kf=30,
+                                        min_frames_between_kf=2,
+                                        kf_ref_ratio=2.0),
         # keep the first-pass keyframes alive: aggressive culling would evict
         # the very keyframes the loop must match against
         map=cfg.map.__class__(max_keyframes=40, max_points=4096,
@@ -181,7 +197,7 @@ def test_full_system_loop_closure():
     # returns to the start with full visual overlap
     world = synthetic.build_world(
         [3, 17, 42, 99], px_per_m=700.0, spacing=0.45, grid_cols=2,
-        extent_margin=1.2,
+        extent_margin=2.2,
     )
     # slow pan: optical flow must stay inside the motion-model search
     # radius, otherwise the system goes LOST and recovers by marker
@@ -189,14 +205,22 @@ def test_full_system_loop_closure():
     # behavior, but not what this test exercises)
     n = 60
     xs = np.concatenate([
-        np.linspace(0.2, 1.5, n // 2),       # away (markers leave view)
-        np.linspace(1.5, 0.2, n // 2),       # back to the start
+        np.linspace(0.2, 1.4, n // 2),       # away (markers leave view)
+        np.linspace(1.4, 0.2, n // 2),       # back to the start
     ])
     poses = [
         synthetic.look_at_plane_pose((x, 0.22), 1.2, pitch=0.03)
         for x in xs
     ]
     imgs = [synthetic.render_view(world, cfg.camera, R, t) for R, t in poses]
+    # photometric noise over the marker-free middle stretch: matching noise
+    # accumulates into real odometry drift, so the revisit re-observes the
+    # old markers from a NON-covisible keyframe — the actual condition for a
+    # loop. (A noise-free synthetic run simply re-tracks the same points on
+    # the way back: one covisible chain, correctly NO loop.)
+    rng = np.random.default_rng(11)
+    for j in range(12, 48):
+        imgs[j] = np.clip(imgs[j] + rng.normal(0, 10, imgs[j].shape), 0, 255)
     slam = SlamSystem(cfg)
     for i, img in enumerate(imgs):
         slam.track_monocular(img, ts=i / 30.0)
@@ -252,3 +276,53 @@ def test_batch_localization_matches_per_frame(sequence):
         np.testing.assert_allclose(np.asarray(p[1]), np.asarray(b[1]),
                                    atol=5e-3)
     assert slam.n_keyframes == ref.n_keyframes
+
+
+def test_auto_reset_when_lost_early(sequence):
+    """LOST with <= 5 keyframes must reset the whole system instead of
+    relocalizing forever (reference Tracking.cc:458-466)."""
+    world, poses, imgs, cfg = sequence
+    slam = SlamSystem(cfg)
+    for i, img in enumerate(imgs[:6]):
+        slam.track_monocular(img, ts=i / 30.0)
+    assert slam.state is TrackingState.OK
+    assert slam.n_keyframes <= 5
+    black = np.zeros_like(imgs[0])
+    slam.track_monocular(black, ts=0.3)
+    # the reset fires in the same call that detects LOST
+    assert slam.state is TrackingState.NO_IMAGES_YET
+    assert slam.n_keyframes == 0
+    assert int(slam.map.num_keyframes()) == 0
+    # and the system can re-initialize afterwards
+    for i, img in enumerate(imgs[:10]):
+        slam.track_monocular(img, ts=(8 + i) / 30.0)
+    assert slam.state is TrackingState.OK
+
+
+def test_reloc_rejects_weak_candidates(sequence):
+    """Relocalization must reject candidates that only reach 10-49 inliers
+    (reference requires nGood >= 50, Tracking.cc:1856-1895): a frame showing
+    a marker-free, weakly-matching view must NOT relocalize."""
+    world, poses, imgs, cfg = sequence
+    import dataclasses
+    cfg = cfg.replace(
+        tracking=dataclasses.replace(cfg.tracking, reset_if_lost_with_kfs_leq=0)
+    )
+    slam = SlamSystem(cfg)
+    for i, img in enumerate(imgs):
+        slam.track_monocular(img, ts=i / 30.0)
+    assert slam.state is TrackingState.OK
+    black = np.zeros_like(imgs[0])
+    for j in range(2):
+        slam.track_monocular(black, ts=1.0 + j / 30.0)
+    assert slam.state is TrackingState.LOST
+    # a noise frame: plenty of FAST corners, no structure from the map
+    rng = np.random.default_rng(3)
+    noise = (rng.integers(0, 2, size=imgs[0].shape) * 255).astype(np.float32)
+    out = slam.track_monocular(noise, ts=2.0)
+    assert out is None
+    assert slam.state is TrackingState.LOST
+    assert slam.stats["reloc"] == 0
+    # a real revisit frame still relocalizes
+    out = slam.track_monocular(imgs[10], ts=3.0)
+    assert slam.state is TrackingState.OK and out is not None
