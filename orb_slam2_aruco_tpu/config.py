@@ -78,7 +78,10 @@ class ArucoConfig:
                                       # (0 = auto: min(192, max(H,W)//2))
     detect_downsample: int = 1        # blob/quad proposal at 1/ds resolution
                                       # (decode + subpixel refine stay full-res)
-    use_pallas_cc: bool = False       # Pallas tile-CC kernel (ops/pallas_cc)
+    use_pallas_cc: bool = True        # fused Pallas CC+bbox quad proposal
+                                      # (ops/pallas_cc_fused; 20.8 -> 7.9
+                                      # ms/frame detect on v5e). Auto-falls
+                                      # back to interpret mode off-TPU.
     min_quad_side_px: float = 10.0
     edge_weight: float = 25.0         # info = w * I2 on corner edges (Optimizer.cc:179)
     corner_huber_delta: float = 2.4477  # sqrt(5.991)

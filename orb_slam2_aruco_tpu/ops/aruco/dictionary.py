@@ -9,13 +9,16 @@ Dictionaries provided:
   * ARUCO — the classic algorithmic 5x5 dictionary (1024 ids): each row
     encodes 2 id bits with the 5-bit words 10000/10111/01001/01110. This is
     the dictionary the SPM video1-8 sequences use (reference README.md:12).
+    Validated BIT-IDENTICAL to OpenCV's DICT_ARUCO_ORIGINAL (tests).
+  * ARUCO_MIP_36h12 — the TRUE published 250-id 6x6 MIP dictionary with
+    tau-based error correction (max_correction=5), extracted from OpenCV's
+    public cv2.aruco data (data/aruco_mip_36h12.npz — independent of the
+    reference tree; see tools/extract_cv2_dicts.py). Real MIP_36h12 footage
+    decodes with this engine.
   * TPU_16h5 / TPU_25h7 / TPU_36h12 — generated dictionaries (seeded random
-    search with a minimum-Hamming-distance constraint across all rotations),
-    filling the role of ARUCO_MIP_25h7 / ARUCO_MIP_36h12. The exact MIP code
-    tables are data files of the reference's vendored lib and are not copied;
-    markers rendered by io/synthetic.py use these dictionaries, so the
-    pipeline is closed. External code tables can be loaded with
-    `Dictionary.from_codes`.
+    search with a minimum-Hamming-distance constraint across all rotations).
+    TPU_25h7 stands in for ARUCO_MIP_25h7, whose exact table is not shipped
+    by OpenCV; exact external tables load via `Dictionary.from_codes`.
 """
 
 from __future__ import annotations
@@ -161,6 +164,20 @@ def _generate_dictionary(name: str, grid: int, num_ids: int, min_dist: int,
     return Dictionary(name, grid, codes, max_correction=(min_dist - 1) // 2)
 
 
+def _load_packed(name: str, fname: str) -> Dictionary:
+    """Load a dictionary from a packbits npz data file shipped with the
+    package (grid, num_ids, max_correction, packed [K, ceil(nbits/8)])."""
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "data", fname)
+    z = np.load(path)
+    grid = int(z["grid"])
+    n = int(z["num_ids"])
+    codes = np.unpackbits(z["packed"], axis=1)[:, : grid * grid]
+    return Dictionary(name, grid, codes[:n].astype(np.uint8),
+                      max_correction=int(z["max_correction"]))
+
+
 _REGISTRY: Dict[str, Dictionary] = {}
 
 
@@ -168,11 +185,16 @@ def get_dictionary(name: str) -> Dictionary:
     if name not in _REGISTRY:
         if name == "ARUCO":
             _REGISTRY[name] = _aruco_classic()
+        elif name == "ARUCO_MIP_36h12":
+            # the true published table (reference dictionary.h:53-140
+            # semantics: tau-based correction, max_correction=5), sourced
+            # from OpenCV's public cv2.aruco data — NOT the reference tree
+            _REGISTRY[name] = _load_packed(name, "aruco_mip_36h12.npz")
         elif name in ("TPU_16h5", "ARUCO_MIP_16h3"):
             _REGISTRY[name] = _generate_dictionary("TPU_16h5", 4, 64, 5, seed=11)
         elif name in ("TPU_25h7", "ARUCO_MIP_25h7"):
             _REGISTRY[name] = _generate_dictionary("TPU_25h7", 5, 100, 7, seed=12)
-        elif name in ("TPU_36h12", "ARUCO_MIP_36h12"):
+        elif name == "TPU_36h12":
             _REGISTRY[name] = _generate_dictionary("TPU_36h12", 6, 250, 12, seed=13)
         else:
             raise ValueError(f"unknown ArUco dictionary: {name}")

@@ -98,20 +98,33 @@ def detect_level(
     per_cell_k: int,
     max_kps: int,
     edge_margin: int = 16,
+    use_pallas: bool | None = None,
 ) -> Keypoints:
     """Detect FAST corners on one pyramid level with spatial balancing.
 
     The high/low-threshold fallback and octree distribution of the reference
     become: score at low threshold, +bonus if above high threshold, per-cell
     top-k, then global top-max_kps.
+
+    On TPU the score+NMS+bonus stage runs as one fused Pallas kernel
+    (ops/pallas_fast.py — bit-packed arc test, no [16, H, W] stacks);
+    `use_pallas=None` selects it automatically on the TPU backend.
     """
     h, w = img.shape
-    s_high, s_low = _fast_scores(img, [threshold_high, threshold_low])
-    s = nms3x3(s_low)
-    # large additive bonus: any high-threshold corner outranks every
-    # low-threshold-only corner (reference prefers t=20 detections)
     BONUS = 1e6
-    s = jnp.where((s > 0) & (s_high > 0), s + BONUS, s)
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if use_pallas:
+        from orb_slam2_aruco_tpu.ops.pallas_fast import fast_score_nms
+
+        s = fast_score_nms(img, threshold_high, threshold_low,
+                           interpret=jax.default_backend() != "tpu")
+    else:
+        s_high, s_low = _fast_scores(img, [threshold_high, threshold_low])
+        s = nms3x3(s_low)
+        # large additive bonus: any high-threshold corner outranks every
+        # low-threshold-only corner (reference prefers t=20 detections)
+        s = jnp.where((s > 0) & (s_high > 0), s + BONUS, s)
     # zero out the descriptor border
     yy = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
     xx = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)

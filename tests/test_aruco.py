@@ -2,6 +2,7 @@
 (SURVEY.md §4: IPPE on synthetic square projections; detector golden tests)."""
 
 import jax.numpy as jnp
+import pytest
 import numpy as np
 
 from orb_slam2_aruco_tpu.config import CameraConfig
@@ -169,3 +170,54 @@ def test_detect_downsampled():
         uv_gt = _project(CAM, Rcw, tcw, world.marker_corners_world(spec))
         err = np.linalg.norm(corners[k[0]] - uv_gt, axis=-1)
         assert err.max() < 1.2, (spec.marker_id, err)
+
+
+def test_classic_aruco_matches_opencv_original():
+    """The algorithmically derived classic ARUCO table must be bit-identical
+    to OpenCV's DICT_ARUCO_ORIGINAL (independent public implementation of the
+    same published (5,2)-code scheme)."""
+    cv2 = pytest.importorskip("cv2")
+    ar = cv2.aruco
+    ours = dictionary.get_dictionary("ARUCO").codes
+    d = ar.getPredefinedDictionary(ar.DICT_ARUCO_ORIGINAL)
+    for i in (0, 1, 7, 100, 512, 1023):
+        img = ar.generateImageMarker(d, i, 8 * 7)
+        cells = img[8:-8, 8:-8].reshape(5, 8, 5, 8).mean(axis=(1, 3)) > 127
+        assert (ours[i] == cells.reshape(-1).astype(np.uint8)).all(), i
+
+
+def test_mip36h12_true_table_decodes_opencv_render():
+    """Markers rendered by OpenCV's INDEPENDENT renderer from the true
+    ARUCO_MIP_36h12 table must decode to the right ids through our full
+    detector (VERDICT item 3: real MIP footage decodability)."""
+    cv2 = pytest.importorskip("cv2")
+    ar = cv2.aruco
+    d = dictionary.get_dictionary("ARUCO_MIP_36h12")
+    assert d.num_ids == 250 and d.grid == 6 and d.max_correction == 5
+    cvd = ar.getPredefinedDictionary(ar.DICT_ARUCO_MIP_36H12)
+    for mid, rot in [(3, 0), (77, 1), (249, 3)]:
+        cell = 12
+        m = ar.generateImageMarker(cvd, mid, cell * 8)   # 8 cells incl border
+        m = np.rot90(m, rot)
+        img = np.full((240, 320), 200.0, np.float32)
+        img[60:60 + cell * 8, 100:100 + cell * 8] = m
+        det = detector.detect_markers(
+            jnp.asarray(img), "ARUCO_MIP_36h12", max_quads=16,
+            min_area=100.0, refine=False,
+        )
+        ids = np.asarray(det.ids)[np.asarray(det.valid)]
+        assert mid in ids.tolist(), (mid, rot, ids)
+
+
+def test_mip36h12_tau_error_correction():
+    """tau-based error correction (reference dictionary.h:53-140): up to
+    max_correction bit errors still decode; more must not."""
+    d = dictionary.get_dictionary("ARUCO_MIP_36h12")
+    rng = np.random.default_rng(5)
+    code = d.codes[42].astype(np.float32)
+    flip = rng.permutation(36)[: d.max_correction]
+    noisy = code.copy()
+    noisy[flip] = 1 - noisy[flip]
+    ids, rots, dist = dictionary.decode_bits(jnp.asarray(noisy[None]),
+                                             "ARUCO_MIP_36h12")
+    assert int(ids[0]) == 42 and float(dist[0]) <= d.max_correction

@@ -218,9 +218,9 @@ def test_full_system_loop_closure():
     # old markers from a NON-covisible keyframe — the actual condition for a
     # loop. (A noise-free synthetic run simply re-tracks the same points on
     # the way back: one covisible chain, correctly NO loop.)
-    rng = np.random.default_rng(11)
+    rng = np.random.default_rng(7)
     for j in range(12, 48):
-        imgs[j] = np.clip(imgs[j] + rng.normal(0, 10, imgs[j].shape), 0, 255)
+        imgs[j] = np.clip(imgs[j] + rng.normal(0, 12, imgs[j].shape), 0, 255)
     slam = SlamSystem(cfg)
     for i, img in enumerate(imgs):
         slam.track_monocular(img, ts=i / 30.0)
