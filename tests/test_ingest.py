@@ -1,0 +1,105 @@
+"""Real-data ingestion + independent-footage validation (VERDICT #2).
+
+The sequence is rendered by tools/independent_seq.py using ONLY cv2/numpy
+math (cv2.aruco marker bitmaps + cv2.warpPerspective plane homography) with
+sensor noise, blur, and an exposure ramp — a fully separate code path from
+io/synthetic.py, standing in for real printed-marker footage."""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+
+from orb_slam2_aruco_tpu.config import CameraConfig, SlamConfig
+from orb_slam2_aruco_tpu.io import ingest, trajectory
+from orb_slam2_aruco_tpu.pipeline.system import SlamSystem
+
+cv2 = pytest.importorskip("cv2")
+
+from independent_seq import render_sequence, write_dataset  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def indep_seq():
+    return render_sequence(n_frames=18, width=480, height=360,
+                           noise_sigma=4.0)
+
+
+def _config_for(K, w, h):
+    camc = CameraConfig(fx=float(K[0, 0]), fy=float(K[1, 1]),
+                        cx=float(K[0, 2]), cy=float(K[1, 2]),
+                        dist=(0, 0, 0, 0, 0), width=w, height=h)
+    cfg = SlamConfig().replace(camera=camc)
+    return cfg.replace(
+        orb=cfg.orb.__class__(num_features=700),
+        map=cfg.map.__class__(max_keyframes=64, max_points=8192,
+                              max_markers=16),
+    )
+
+
+def test_slam_on_independently_rendered_footage(indep_seq):
+    """End-to-end SLAM on cv2-rendered noisy footage: markers decode, the
+    trajectory tracks, and metric ATE stays small."""
+    frames, poses, K, _ = indep_seq
+    cfg = _config_for(K, 480, 360)
+    slam = SlamSystem(cfg)
+    est = [slam.track_monocular(img, ts=i / 30.0)
+           for i, img in enumerate(frames)]
+    ok = [(i, p) for i, p in enumerate(est) if p is not None]
+    # initialization waits for a sufficient marker baseline (reference
+    # Tracking.cc:549-629), which costs the first few frames
+    assert len(ok) >= len(frames) - 6, len(ok)
+    assert int(slam.map.num_markers()) >= 6
+    est_c = trajectory.camera_centers([p[0] for _, p in ok],
+                                      [p[1] for _, p in ok])
+    gt_c = trajectory.camera_centers([poses[i][0] for i, _ in ok],
+                                     [poses[i][1] for i, _ in ok])
+    ate = trajectory.ate_rmse(est_c, gt_c, align=True, with_scale=False)
+    assert ate < 0.12, ate      # metric (SE3-aligned) on a ~2.3 m standoff
+    ate_s = trajectory.ate_rmse(est_c, gt_c, align=True, with_scale=True)
+    assert ate_s < 0.12, ate_s
+
+
+def test_dataset_roundtrip_and_yaml(tmp_path, indep_seq):
+    """write_dataset -> ImageFolderSource(times.txt) + OpenCV-yaml camera
+    ingestion reproduce the in-memory frames and intrinsics."""
+    frames, poses, K, _ = indep_seq
+    out = str(tmp_path / "seq")
+    write_dataset(out, frames[:6], poses[:6], K)
+    camc = ingest.camera_from_opencv_yaml(os.path.join(out, "calib.yml"))
+    assert abs(camc.fx - K[0, 0]) < 1e-3 and camc.width == 480
+    # rescale path (createYMLfromOpencvCamera semantics)
+    camc2 = ingest.camera_from_opencv_yaml(os.path.join(out, "calib.yml"),
+                                           out_size=(240, 180))
+    assert abs(camc2.fx - K[0, 0] * 0.5) < 1e-3 and camc2.width == 240
+    src = ingest.ImageFolderSource(os.path.join(out, "images"), camc,
+                                   times_file=os.path.join(out, "times.txt"))
+    got = list(src)
+    assert len(got) == 6
+    np.testing.assert_array_equal(got[0][0], frames[0])
+    assert abs(got[3][1] - 3 / 30.0) < 1e-4
+
+
+def test_video_source(tmp_path, indep_seq):
+    """VideoSource decodes an mp4/avi written by cv2 and resizes to the
+    camera geometry (mono_cvcam video entry point)."""
+    frames, poses, K, _ = indep_seq
+    path = str(tmp_path / "seq.avi")
+    vw = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"MJPG"), 30.0,
+                         (480, 360), isColor=False)
+    assert vw.isOpened()
+    for f in frames[:6]:
+        vw.write(f)
+    vw.release()
+    camc = CameraConfig(fx=float(K[0, 0]), fy=float(K[1, 1]),
+                        cx=float(K[0, 2]), cy=float(K[1, 2]),
+                        dist=(0, 0, 0, 0, 0), width=480, height=360)
+    got = list(ingest.VideoSource(path, camc))
+    assert len(got) == 6
+    assert got[0][0].shape == (360, 480)
+    # MJPG is lossy: frames should still be close
+    assert np.mean(np.abs(got[2][0].astype(float)
+                          - frames[2].astype(float))) < 4.0
