@@ -133,6 +133,11 @@ class OptimConfig:
     local_ba_iters_first: int = 5
     local_ba_iters_second: int = 10
     global_ba_iters: int = 20         # init GBA (Tracking.cc:795); 10 after loop
+    post_loop_gba_iters: int = 20     # total LM iterations of the post-loop
+                                      # global BA, drained in slices between
+                                      # frames (the reference's detached GBA
+                                      # thread, LoopClosing.cc:880)
+    gba_slice_iters: int = 2          # GBA iterations per frame step
     sim3_iters: int = 5
     essential_graph_iters: int = 20
     essential_graph_min_covis: int = 100  # covisibility edge weight gate

@@ -56,7 +56,17 @@ def detect_loop_by_marker(state: MapState, kf_cur, min_gap: int = 10):
     K, A = state.kf_mk_slot.shape
     W = covisibility_matrix(state)
     cur_slots = state.kf_mk_slot[kf_cur]                 # [A]
-    cur_valid = state.kf_mk_valid[kf_cur] & (cur_slots >= 0)
+    # only markers FLAGGED old in the current keyframe can signal a loop
+    # (the reference's mvbOldAruco, set by CheckArucoID when the marker's
+    # LATEST observation is old, Tracking.cc:856-908, and cleared by
+    # CorrectLoopByAruco :732-735): a marker that is being tracked
+    # continuously — e.g. right after a closed loop — must not re-trigger,
+    # or every post-loop keyframe re-corrects an already-consistent map
+    # with fresh marker-IPPE noise
+    cur_valid = (
+        state.kf_mk_valid[kf_cur] & (cur_slots >= 0)
+        & state.kf_mk_old[kf_cur]
+    )
     # observers[k, a]: does KF k observe cur marker a?
     obs = (
         (state.kf_mk_slot[:, :, None] == cur_slots[None, None, :])

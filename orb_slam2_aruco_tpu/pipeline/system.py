@@ -77,6 +77,10 @@ class SlamSystem:
         self.bow_consistency = loop_closing.ConsistencyTracker(
             cfg.loop.consistency_threshold
         )
+        # time-sliced post-loop global BA (the reference's detached GBA
+        # thread becomes a few LM iterations amortized into each frame step)
+        self.pending_gba_iters = 0
+        self.pending_gba_fuse = False
 
     # ------------------------------------------------------------------
     def track_monocular(self, img: np.ndarray, ts: float):
@@ -104,6 +108,12 @@ class SlamSystem:
             and self.n_keyframes <= self.cfg.tracking.reset_if_lost_with_kfs_leq
         ):
             self.reset()
+
+        # drain one slice of any pending post-loop global BA — also while
+        # LOST: the reference's GBA thread keeps repairing the map while
+        # tracking is down, and relocalization needs the repaired map
+        if self.pending_gba_iters > 0 and not self.localization_only:
+            self._gba_slice()
 
         Rcw, tcw = pose if pose is not None else (np.eye(3, dtype=np.float32),
                                                   np.zeros(3, dtype=np.float32))
@@ -474,30 +484,34 @@ class SlamSystem:
                         self.map, jnp.asarray(int(k)), det.kf_loop,
                         self.cam, cfg,
                     )
+                if _os.environ.get("SLAM_DEBUG_LOOP"):
+                    print(f"SIM3ACC fid={fid} ok={bool(cand.ok)} "
+                          f"s={float(cand.s):.4f} n={int(cand.n_inliers)} "
+                          f"marker={int(det.marker_slot) >= 0}")
                 if bool(cand.ok):
                     self.map, _ = loop_closing.correct_loop(
                         self.map, jnp.asarray(int(k)), det.kf_loop,
                         cand.s, cand.R, cand.t, self.cam, cfg,
                     )
-                    # fuse the two sides of the loop (SearchAndFuse), then
-                    # global BA; one more fuse+BA round picks up the
-                    # duplicates that only align after the first BA
-                    for _ in range(2):
-                        self.map, _ = mapping.fuse_duplicates(
-                            self.map, jnp.asarray(int(k)), self.cam, cfg,
-                            restrict_covisible=False,
-                        )
-                        # GBA must cover the WHOLE map: selecting only the
-                        # newest keyframes would exclude the loop's anchor
-                        # side (the oldest keyframes) from the correction
-                        # (reference RunGlobalBundleAdjustment optimizes
-                        # every keyframe, LoopClosing.cc:1132-1236)
-                        self.map, _ = mapping.bundle_adjust(
-                            self.map, jnp.asarray(int(k)), self.cam, cfg,
-                            max_cams=cfg.map.max_keyframes,
-                            max_pts=min(8192, cfg.map.max_points),
-                            iters=10, window_all=True,
-                        )
+                    # fuse the two sides of the loop now (SearchAndFuse,
+                    # LoopClosing.cc:1074-1100) — tracking needs the merged
+                    # associations immediately
+                    self.map, _ = mapping.fuse_duplicates(
+                        self.map, jnp.asarray(int(k)), self.cam, cfg,
+                        restrict_covisible=False,
+                    )
+                    # global BA runs TIME-SLICED between subsequent frames
+                    # instead of inline (the reference's detached GBA thread,
+                    # LoopClosing.cc:880): a new loop closure before the
+                    # slices drain simply restarts the schedule — the
+                    # reference's mbStopGBA abort-and-restart protocol
+                    # (LoopClosing.cc:660-676)
+                    self.pending_gba_iters = cfg.optim.post_loop_gba_iters
+                    self.pending_gba_fuse = True
+                    # one stabilization slice INLINE: the very next frame
+                    # must track against a self-consistent map (the rest of
+                    # the iterations amortize across subsequent frames)
+                    self._gba_slice()
                     self.last_loop_kf_count = self.n_keyframes
                     self.stats["loops_closed"] += 1
                 else:
@@ -508,6 +522,53 @@ class SlamSystem:
                         int(cand.n_inliers)
                     )
         return int(k)
+
+    # ------------------------------------------------------------------
+    def _gba_slice(self):
+        """One slice of the pending post-loop global BA (RunGlobalBundle-
+        Adjustment, reference LoopClosing.cc:1132-1236, amortized): a few LM
+        iterations over the WHOLE map, then re-anchor the tracking context to
+        the moved reference keyframe (the reference re-derives frame poses
+        relative to their reference KF after GBA, :1164-1224)."""
+        cfg = self.cfg
+        ref = jnp.asarray(self.ref_kf)
+        R_ref0 = self.map.kf_Rcw[ref]
+        t_ref0 = self.map.kf_tcw[ref]
+        self.map, _ = mapping.bundle_adjust(
+            self.map, jnp.asarray(self.last_kf_slot), self.cam, cfg,
+            max_cams=cfg.map.max_keyframes,
+            max_pts=min(8192, cfg.map.max_points),
+            iters=cfg.optim.gba_slice_iters, window_all=True,
+        )
+        self.pending_gba_iters -= cfg.optim.gba_slice_iters
+        self.stats["gba_slices"] = self.stats.get("gba_slices", 0) + 1
+        # halfway through: one more whole-map fuse — duplicates that only
+        # align after the first BA iterations merge here (the reference's
+        # second SearchAndFuse effect)
+        if (
+            self.pending_gba_fuse
+            and self.pending_gba_iters <= cfg.optim.post_loop_gba_iters // 2
+        ):
+            self.map, _ = mapping.fuse_duplicates(
+                self.map, jnp.asarray(self.last_kf_slot), self.cam, cfg,
+                restrict_covisible=False,
+            )
+            self.pending_gba_fuse = False
+        # re-anchor last_pose: T_last' = (T_last * T_ref0^-1) * T_ref1
+        if self.last_pose is not None:
+            R_ref1 = self.map.kf_Rcw[ref]
+            t_ref1 = self.map.kf_tcw[ref]
+            Ri, ti = se3_inverse(R_ref0, t_ref0)
+            Rrel, trel = se3_compose(self.last_pose[0], self.last_pose[1],
+                                     Ri, ti)
+            self.last_pose = se3_compose(Rrel, trel, R_ref1, t_ref1)
+
+    def flush(self):
+        """Drain all pending amortized work (post-loop global BA slices) —
+        call before reading final trajectories, like joining the reference's
+        GBA thread at shutdown (System::Shutdown, System.cc:205-224)."""
+        while self.pending_gba_iters > 0:
+            self._gba_slice()
 
     # ------------------------------------------------------------------
     def _relocalize(self, frame: Frame, fid: int, ts: float):
@@ -604,6 +665,8 @@ class SlamSystem:
         self.vel = None
         self.init_frame = None
         self.bow_consistency.reset()
+        self.pending_gba_iters = 0
+        self.pending_gba_fuse = False
 
     def get_trajectory(self):
         return self.trajectory
@@ -612,6 +675,7 @@ class SlamSystem:
         """Final keyframe poses from the (loop-corrected) map — the
         reference's SaveKeyFrameTrajectoryTUM source (System.cc:287-321).
         Returns (frame_ids [n], Rcw [n,3,3], tcw [n,3]) sorted by frame."""
+        self.flush()   # drain any pending post-loop GBA slices first
         valid = np.asarray(self.map.kf_valid)
         fids = np.asarray(self.map.kf_frame_id)[valid]
         Rcw = np.asarray(self.map.kf_Rcw)[valid]

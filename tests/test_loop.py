@@ -150,6 +150,10 @@ def build_drifted_map(rng, n_kf=14, n_pts=160, drift_per_kf=0.015):
                 kf_mk_slot=state.kf_mk_slot.at[k, 0].set(0),
                 kf_mk_uv=state.kf_mk_uv.at[k, 0].set(uvm),
                 kf_mk_valid=state.kf_mk_valid.at[k, 0].set(True),
+                # the current KF re-observes a marker whose latest previous
+                # observation is KF0 — tracking's CheckArucoID would flag it
+                # old (mvbOldAruco), which loop detection now requires
+                kf_mk_old=state.kf_mk_old.at[k, 0].set(k == n_kf - 1),
             )
     return cfg, cam, state, (R_true, t_true), (R_est, t_est)
 
