@@ -1,16 +1,20 @@
-"""Benchmark: steady-state monocular tracking throughput on one chip.
+"""Benchmark: monocular tracking throughput on one chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line with the headline metric plus the BASELINE.md
+companions:
+  value            localization-mode tracking fps (the reference's own
+                   two-pass serving workload, mono_cvcam.cc:183-235),
+                   pipelined chunked dispatch (SlamSystem.localize_stream)
+  slam_fps         SLAM-mode fps (per-frame tracking + keyframe insertion +
+                   triangulation + local BA — the reference's pass 1)
+  p50_ms / p90_ms  per-frame latency percentiles of the SLAM pass
+  ba_iters_per_s   global-BA LM iterations per second on the built map
+  vs_baseline      fps / 30 (the reference's ~30 Hz real-time design budget:
+                   20 ms sleep per frame in its drive loops,
+                   mono_cvcam.cc:143; no published numbers exist —
+                   BASELINE.md)
 
-Baseline: the reference is designed around a ~30 Hz real-time budget
-(20 ms sleep per frame in its drive loops, reference
-Examples/Monocular/mono_cvcam.cc:143; upstream ORB-SLAM2 reports ~25-30 Hz
-tracking on a desktop CPU — BASELINE.md). vs_baseline = fps / 30.
-
-The bench builds a map from a synthetic 960x540 marker sequence (flagship
-feature budget: 1000 ORB features, 8 levels — mono_cvcam.cc:78-82), then
-times the full per-frame tracking path (frontend + marker binding + pose
-cascade + local-map tracking) in steady state.
+Flagship config: 960x540, 1000 ORB features, 8 levels (mono_cvcam.cc:78-82).
 """
 
 import json
@@ -21,9 +25,11 @@ import numpy as np
 
 def main():
     import jax
+    import jax.numpy as jnp
 
     from orb_slam2_aruco_tpu.config import CameraConfig, SlamConfig
     from orb_slam2_aruco_tpu.io import synthetic
+    from orb_slam2_aruco_tpu.pipeline import mapping
     from orb_slam2_aruco_tpu.pipeline.system import SlamSystem, TrackingState
 
     camc = CameraConfig(
@@ -50,39 +56,64 @@ def main():
     frames = [synthetic.render_view(world, camc, R, t) for R, t in poses]
 
     # Pre-stage frames on device as uint8: this environment reaches the TPU
-    # through a low-bandwidth relay (~0.4 MB/s H2D), which is an artifact of
-    # the tunnel, not of the engine or the chip. A production ingest path
-    # feeds frames without a per-frame host round trip; the bench measures
-    # the engine. (uint8 also quarters the transfer for real hosts.)
-    import jax.numpy as jnp
-
+    # through a low-bandwidth relay (~0.4 MB/s H2D), an artifact of the
+    # tunnel, not of the engine or the chip. A production ingest path feeds
+    # frames without a per-frame host round trip; the bench measures the
+    # engine. (uint8 also quarters the transfer for real hosts.)
     frames_dev = [
         jax.device_put(np.clip(f, 0, 255).astype(np.uint8)) for f in frames
     ]
-    jax.block_until_ready(frames_dev)
+    np.asarray(frames_dev[0])  # force staging to finish
 
+    # ---- SLAM-mode pass (map building) -----------------------------------
     slam = SlamSystem(cfg)
-    for i, img in enumerate(frames_dev):
+    for i, img in enumerate(frames_dev):       # warm up all jit paths
         slam.track_monocular(img, ts=i / 30.0)
     assert slam.state is TrackingState.OK, f"bench map build failed: {slam.state}"
+    slam2 = SlamSystem(cfg)
+    lat = []
+    for i in range(2 * n_frames):
+        img = frames_dev[i % n_frames]
+        t0 = time.perf_counter()
+        slam2.track_monocular(img, ts=i / 30.0)
+        lat.append(time.perf_counter() - t0)
+    lat = np.asarray(lat[4:])                  # drop init frames
+    slam_fps = 1.0 / np.mean(lat)
+    p50 = float(np.percentile(lat, 50) * 1000)
+    p90 = float(np.percentile(lat, 90) * 1000)
 
-    # steady-state timing: localization-only tracking over the staged views,
-    # chunked — tracking.track_batch scans B consecutive frames in ONE device
-    # dispatch with ONE readback, the production serving path (the reference's
-    # own localization phase, mono_cvcam.cc:183-235, is this exact workload).
+    # ---- localization serving pass (headline) ----------------------------
     slam.activate_localization_mode()
-    chunk = 8
-    # warm up all jit paths (per-frame fallback + the scanned chunk program)
-    slam.track_monocular(frames_dev[0], ts=0.0)
-    slam.track_monocular_batch(frames_dev[:chunk], [0.0] * chunk)
-    n_timed = 48
+    chunk = 16
+    # warm up the stream program
+    list(slam.localize_stream(
+        ((frames_dev[k % n_frames], 0.0) for k in range(chunk)), chunk=chunk))
+    n_timed = 96
     t0 = time.perf_counter()
-    for j in range(0, n_timed, chunk):
-        ch = [frames_dev[(j + k) % n_frames] for k in range(chunk)]
-        out = slam.track_monocular_batch(ch, [0.0] * chunk)
-        assert len(out) == chunk
+    out = list(slam.localize_stream(
+        ((frames_dev[k % n_frames], 0.0) for k in range(n_timed)),
+        chunk=chunk))
     dt = time.perf_counter() - t0
+    assert len(out) == n_timed and all(p is not None for _, _, p in out)
     fps = n_timed / dt
+
+    # ---- global-BA iteration rate ----------------------------------------
+    ba_iters = 30
+    _, chi0 = mapping.bundle_adjust(       # warm up the BA program
+        slam.map, jnp.asarray(slam.ref_kf), slam.cam, cfg,
+        max_cams=cfg.map.max_keyframes, max_pts=8192,
+        iters=ba_iters, window_all=True,
+    )
+    np.asarray(chi0)
+    t0 = time.perf_counter()
+    _, chi = mapping.bundle_adjust(
+        slam.map, jnp.asarray(slam.ref_kf), slam.cam, cfg,
+        max_cams=cfg.map.max_keyframes, max_pts=8192,
+        iters=ba_iters, window_all=True,
+    )
+    np.asarray(chi)
+    ba_rate = ba_iters / (time.perf_counter() - t0)
+
     print(
         json.dumps(
             {
@@ -90,6 +121,11 @@ def main():
                 "value": round(fps, 2),
                 "unit": "frames/s",
                 "vs_baseline": round(fps / 30.0, 3),
+                "slam_fps": round(slam_fps, 2),
+                "p50_ms": round(p50, 2),
+                "p90_ms": round(p90, 2),
+                "ba_iters_per_s": round(ba_rate, 1),
+                "chunk": chunk,
             }
         )
     )

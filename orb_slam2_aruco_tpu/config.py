@@ -126,8 +126,13 @@ class TrackingConfig:
 class OptimConfig:
     """Levenberg–Marquardt engine (replaces g2o; reference src/Optimizer.cc)."""
 
-    pose_rounds: int = 4              # 4 rounds x 10 iters with inlier reclassify
-    pose_iters_per_round: int = 10
+    pose_rounds: int = 4              # 4 rounds with chi2 inlier reclassify
+                                      # between rounds (Optimizer.cc:438-511)
+    pose_iters_per_round: int = 10    # LM iteration CAP per round; the loop
+                                      # exits early once chi2 stops improving
+                                      # (monotone LM => identical pose), so a
+                                      # warm-seeded frame runs ~3-5 iterations
+                                      # instead of the full 10
     chi2_mono: float = 5.991          # 2-dof 95% gate
     huber_delta: float = 2.4477       # sqrt(5.991)
     local_ba_iters_first: int = 5

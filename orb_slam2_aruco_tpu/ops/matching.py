@@ -71,8 +71,15 @@ def window_mask(pos_a, pos_b, radius, octave_a=None, octave_b=None,
                 max_octave_diff: int = 1):
     """[N, M] bool: b within `radius` pixels of a's predicted position.
     radius may be scalar or per-row [N] (scale-dependent search windows).
-    Octave constraint mirrors the reference's minLevel/maxLevel gates."""
-    d2 = jnp.sum((pos_a[:, None, :] - pos_b[None, :, :]) ** 2, axis=-1)
+    Octave constraint mirrors the reference's minLevel/maxLevel gates.
+
+    |a-b|^2 expands to |a|^2 + |b|^2 - 2<a,b> so the [N, M] distance grid is
+    one MXU matmul — materializing the [N, M, 2] difference tensor costs
+    more HBM traffic than everything else in the matcher combined."""
+    na = jnp.sum(pos_a * pos_a, axis=-1)                  # [N]
+    nb = jnp.sum(pos_b * pos_b, axis=-1)                  # [M]
+    cross = jnp.dot(pos_a, pos_b.T, preferred_element_type=jnp.float32)
+    d2 = na[:, None] + nb[None, :] - 2.0 * cross
     r = jnp.asarray(radius)
     if r.ndim == 0:
         r2 = r * r

@@ -100,24 +100,36 @@ def optimize_pose(
         Rcw, tcw, inlier_w = carry
         use_huber = rd < 2  # reference drops the robust kernel at round 3
 
-        def lm_iter(it, state):
-            Rcw, tcw, lam, chi2_cur = state
+        # LM with early exit: iterations are the dominant SEQUENTIAL cost of
+        # the per-frame cascade (~50 us each on a v5e); LM is monotone
+        # (steps are only accepted when chi2 drops), so stopping after two
+        # consecutive stalled iterations returns the same pose the full
+        # iteration budget would
+        def lm_cond(state):
+            _, _, _, _, it, stall = state
+            return (it < iters_per_round) & (stall < 2)
+
+        def lm_iter(state):
+            Rcw, tcw, lam, chi2_cur, it, stall = state
             H, b, _ = build(Rcw, tcw, inlier_w, use_huber)
             dx = solve_damped(H, b, lam)
             dR, dt = se3_exp(dx)
             Rn, tn = se3_compose(dR, dt, Rcw, tcw)
             chi2_new, _ = total_chi2(Rn, tn, inlier_w)
             accept = chi2_new < chi2_cur
+            improved = chi2_new < chi2_cur * (1.0 - 1e-5)
             Rcw = jnp.where(accept, Rn, Rcw)
             tcw = jnp.where(accept, tn, tcw)
             lam = jnp.where(accept, lam * 0.5, lam * 4.0)
             lam = jnp.clip(lam, 1e-9, 1e6)
             chi2_cur = jnp.where(accept, chi2_new, chi2_cur)
-            return Rcw, tcw, lam, chi2_cur
+            stall = jnp.where(improved, 0, stall + 1)
+            return Rcw, tcw, lam, chi2_cur, it + 1, stall
 
         chi2_0, _ = total_chi2(Rcw, tcw, inlier_w)
-        Rcw, tcw, _, _ = jax.lax.fori_loop(
-            0, iters_per_round, lm_iter, (Rcw, tcw, jnp.float32(lam0), chi2_0)
+        Rcw, tcw, _, _, _, _ = jax.lax.while_loop(
+            lm_cond, lm_iter,
+            (Rcw, tcw, jnp.float32(lam0), chi2_0, jnp.int32(0), jnp.int32(0)),
         )
         # reclassify
         _, c = total_chi2(Rcw, tcw, jnp.ones_like(inlier_w))

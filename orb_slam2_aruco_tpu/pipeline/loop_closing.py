@@ -547,8 +547,9 @@ def detect_loop_by_bow(state: MapState, kf_cur, min_gap: int = 10):
     )
     too_young = (order_rank[kf_cur] - order_rank) < min_gap
     exclude = covis | ~state.kf_valid | too_young
-    idx, vals, keep = retrieval.detect_candidates(
+    idx, vals, keep = retrieval.detect_candidates_grouped(
         state.kf_bow[kf_cur], state.kf_bow, state.kf_valid,
+        covis_w=W.astype(jnp.float32),
         exclude_mask=exclude, min_score=min_score, max_candidates=4,
     )
     found = keep[0]

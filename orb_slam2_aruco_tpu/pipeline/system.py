@@ -183,6 +183,138 @@ class SlamSystem:
         return poses
 
     # ------------------------------------------------------------------
+    def localize_stream(self, imgs_ts, chunk: int = 16):
+        """Pipelined localization-only serving: a generator over (img, ts)
+        pairs yielding (frame_id, ts, pose_or_None).
+
+        Chunk k+1 is DISPATCHED before chunk k's control vector is read
+        back, so the host<->device round trip (per-dispatch latency + the
+        readback) overlaps the next chunk's compute — on relay-attached
+        TPUs this hides ~20 ms per chunk. The dispatch is speculative: if
+        chunk k turns out to contain a lost frame, the speculative chunk is
+        discarded and its frames are reprocessed through the per-frame
+        relocalization path (results are identical to the sequential path
+        whenever tracking holds, which is the steady state).
+
+        Requires localization mode and an OK tracking state (same contract
+        as track_monocular_batch)."""
+        if not (self.localization_only and self.state is TrackingState.OK
+                and self.last_frame is not None):
+            raise RuntimeError("localize_stream needs localization mode and "
+                               "state OK (track or load a map first)")
+
+        def dispatch(stack):
+            if self.vel is not None:
+                vR, vt, hv = self.vel[0], self.vel[1], jnp.asarray(True)
+            else:
+                vR = jnp.eye(3, dtype=jnp.float32)
+                vt = jnp.zeros(3, dtype=jnp.float32)
+                hv = jnp.asarray(False)
+            ctrls, carry = tracking.track_batch(
+                self.map, stack, self.last_pose[0], self.last_pose[1],
+                vR, vt, hv,
+                self.last_frame.kp_uv, self.last_frame.desc, self.last_obs,
+                self.last_frame.kp_valid, self.last_frame.kp_octave,
+                jnp.asarray(self.ref_kf), self.cam, self.cfg,
+            )
+            # commit the device-side carry immediately (speculative): the
+            # next chunk chains on-device without waiting for the readback
+            (Rl, tl, vR2, vt2, _, luv, ldesc, lobs, lval, loct, vis,
+             found) = carry
+            self.map = self.map._replace(pt_visible=vis, pt_found=found)
+            self.last_frame = self.last_frame._replace(
+                kp_uv=luv, desc=ldesc, kp_valid=lval, kp_octave=loct
+            )
+            self.last_obs = lobs
+            self.last_pose = (Rl, tl)
+            self.vel = (vR2, vt2)
+            return ctrls
+
+        def emit(ctrls, metas):
+            """Validate a finished chunk; returns (results, lost_tail)."""
+            c = np.asarray(ctrls)
+            out = []
+            for j, (fid, ts) in enumerate(metas):
+                if c[j, 0] < self.cfg.tracking.min_matches_local_map:
+                    return out, metas[j:]
+                Rcw = c[j, 5:14].reshape(3, 3)
+                tcw = c[j, 14:17]
+                self.trajectory.append(
+                    FrameRecord(fid, ts, Rcw, tcw, TrackingState.OK)
+                )
+                out.append((fid, ts, (Rcw, tcw)))
+            return out, None
+
+        pending = None          # (ctrls_dev, metas, held_imgs_ts)
+        buf = []
+
+        def flush_buf(buf):
+            stack = jnp.stack([jnp.asarray(im) for im, _ in buf])
+            metas = []
+            for im, ts in buf:
+                metas.append((self.frame_id, ts))
+                self.frame_id += 1
+            return dispatch(stack), metas
+
+        src = iter(imgs_ts)
+        exhausted = False
+        while True:
+            # while lost (and nothing in flight), run frames one at a time
+            # through the relocalization path until tracking is OK again
+            if pending is None and self.state is not TrackingState.OK:
+                while buf or not exhausted:
+                    if not buf:
+                        try:
+                            buf.append(next(src))
+                        except StopIteration:
+                            exhausted = True
+                            break
+                    im, ts = buf.pop(0)
+                    fid = self.frame_id
+                    yield (fid, ts, self.track_monocular(im, ts))
+                    if self.state is TrackingState.OK:
+                        break
+                if self.state is not TrackingState.OK:
+                    return  # stream ended while lost
+            # fill the next chunk
+            while not exhausted and len(buf) < chunk:
+                try:
+                    buf.append(next(src))
+                except StopIteration:
+                    exhausted = True
+            if pending is None and not buf:
+                return
+            new_pending = None
+            held = list(buf)
+            if buf:
+                ctrls, metas = flush_buf(buf)
+                new_pending = (ctrls, metas, held)
+                buf = []
+            if pending is not None:
+                ctrls_p, metas_p, held_p = pending
+                results, lost_tail = emit(ctrls_p, metas_p)
+                for r in results:
+                    yield r
+                if lost_tail is not None:
+                    # rewind: discard the speculative chunk and reprocess
+                    # the lost tail + the speculative frames through the
+                    # per-frame path (relocalization, then normal tracking)
+                    self.state = TrackingState.LOST
+                    self.vel = None
+                    redo = held_p[len(results):]
+                    if new_pending is not None:
+                        redo = redo + new_pending[2]
+                        new_pending = None
+                    self.frame_id = lost_tail[0][0]
+                    for im, ts in redo:
+                        fid = self.frame_id
+                        pose = self.track_monocular(im, ts)
+                        yield (fid, ts, pose)
+            pending = new_pending
+            if pending is None and exhausted:
+                return
+
+    # ------------------------------------------------------------------
     def _try_initialize(self, frame: Frame, fid: int, ts: float):
         cfg = self.cfg
         fctrl = np.asarray(frame.ctrl)   # one read: [n_kp, n_good_markers]

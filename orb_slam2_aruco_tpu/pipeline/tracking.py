@@ -306,9 +306,14 @@ def track_vs_keyframe(
 def reloc_candidates(state: MapState, frame: Frame, cfg: SlamConfig,
                      max_candidates: int = 4):
     """BoW relocalization candidates (DetectRelocalizationCandidates,
-    reference src/KeyFrameDatabase.cc:199+)."""
-    return retrieval.detect_candidates(
+    reference src/KeyFrameDatabase.cc:199+): same shared-word and covisible-
+    group accumulation as loop candidates, minus the minScore gate."""
+    from orb_slam2_aruco_tpu.worldmap.covisibility import covisibility_matrix
+
+    W = covisibility_matrix(state)
+    return retrieval.detect_candidates_grouped(
         frame.bow, state.kf_bow, state.kf_valid,
+        covis_w=W.astype(jnp.float32),
         exclude_mask=jnp.zeros_like(state.kf_valid),
         min_score=0.0, max_candidates=max_candidates,
     )

@@ -68,3 +68,61 @@ def detect_candidates(
     best = vals[0]
     keep = (vals >= min_score) & (vals >= 0.75 * best) & (vals > 0)
     return idx, vals, keep
+
+
+def detect_candidates_grouped(
+    bow,
+    kf_bow,
+    kf_valid,
+    covis_w,               # [K, K] covisibility weights (shared points)
+    exclude_mask,
+    min_score,
+    max_candidates: int = 8,
+    group_size: int = 10,
+    shared_word_frac: float = 0.8,
+    acc_frac: float = 0.75,
+):
+    """Reference-faithful candidate selection (KeyFrameDatabase::Detect-
+    LoopCandidates / DetectRelocalizationCandidates, src/KeyFrameDatabase.cc
+    :76-197):
+
+      1. shared-word gate: candidates must share >= 0.8x the maximum number
+         of active words with the query (the inverted-file commonWords
+         count becomes an AND of binarized signatures — one matmul);
+      2. per-candidate score >= min_score;
+      3. scores accumulate over each candidate's top-`group_size` covisible
+         group, and only groups with accScore >= 0.75 * bestAccScore
+         survive — a single aliased keyframe cannot outvote a consistent
+         neighborhood.
+
+    Returns (idx [C], acc_vals [C], keep [C])."""
+    K = kf_valid.shape[0]
+    s = score_against_keyframes(bow, kf_bow, kf_valid)
+    ok = kf_valid & ~exclude_mask
+    # shared active words (both histograms nonzero at the word)
+    shared = jnp.dot(
+        (kf_bow > 0).astype(jnp.float32), (bow > 0).astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    )                                                    # [K]
+    max_shared = jnp.max(jnp.where(ok, shared, 0.0))
+    cand = ok & (shared >= shared_word_frac * max_shared) & (s >= min_score)
+    s_c = jnp.where(cand, s, 0.0)
+    # top-`group_size` covisible group of every keyframe (masked one-hot)
+    gs = min(group_size, K)
+    _, top_idx = jax.lax.top_k(covis_w, gs)              # [K, gs]
+    w_pos = jnp.take_along_axis(covis_w, top_idx, axis=1) > 0
+    group = jnp.zeros((K, K), bool)
+    group = group.at[
+        jnp.arange(K)[:, None], top_idx
+    ].max(w_pos)
+    group = group | jnp.eye(K, dtype=bool)
+    acc = jnp.dot(
+        group.astype(jnp.float32), s_c, preferred_element_type=jnp.float32
+    )                                                    # [K]
+    acc = jnp.where(cand, acc, -1.0)
+    best_acc = jnp.max(acc)
+    keep_k = cand & (acc >= acc_frac * best_acc) & (acc > 0)
+    score_final = jnp.where(keep_k, s, -1.0)
+    vals, idx = jax.lax.top_k(score_final, max_candidates)
+    keep = vals > 0
+    return idx, jnp.maximum(acc[idx], vals), keep

@@ -326,3 +326,43 @@ def test_reloc_rejects_weak_candidates(sequence):
     # a real revisit frame still relocalizes
     out = slam.track_monocular(imgs[10], ts=3.0)
     assert slam.state is TrackingState.OK and out is not None
+
+
+def test_localize_stream_matches_per_frame(sequence):
+    """The pipelined localize_stream (speculative chunk dispatch) must
+    reproduce the per-frame localization results, and must rewind correctly
+    when a chunk contains lost frames (blackout mid-stream)."""
+    world, poses, imgs, cfg = sequence
+    slam = SlamSystem(cfg)
+    for i, img in enumerate(imgs):
+        slam.track_monocular(img, ts=i / 30.0)
+    assert slam.state is TrackingState.OK
+
+    import copy
+    slam.activate_localization_mode()
+    ref = copy.copy(slam)
+    ref.trajectory = list(slam.trajectory)
+    ref.stats = dict(slam.stats)
+
+    # clean stream: equivalence with per-frame results
+    per_frame = [ref.track_monocular(im, ts=0.0) for im in imgs[:12]]
+    out = list(slam.localize_stream(((im, 0.0) for im in imgs[:12]), chunk=4))
+    assert len(out) == 12
+    for (fid, ts, p), q in zip(out, per_frame):
+        assert p is not None and q is not None
+        np.testing.assert_allclose(np.asarray(p[0]), np.asarray(q[0]),
+                                   atol=1e-3)
+        np.testing.assert_allclose(np.asarray(p[1]), np.asarray(q[1]),
+                                   atol=5e-3)
+
+    # blackout mid-stream: the speculative chunk must be discarded and the
+    # stream must recover through relocalization
+    black = np.zeros_like(imgs[0])
+    seq2 = [imgs[2], imgs[3], black, black, imgs[4], imgs[5], imgs[6],
+            imgs[7], imgs[8], imgs[9]]
+    out2 = list(slam.localize_stream(((im, 0.0) for im in seq2), chunk=3))
+    assert len(out2) == len(seq2)
+    n_ok = sum(p is not None for _, _, p in out2)
+    assert n_ok >= len(seq2) - 4, n_ok          # blacks + <=2 reloc frames
+    assert out2[-1][2] is not None              # recovered by the end
+    assert slam.state is TrackingState.OK
