@@ -143,6 +143,9 @@ class OptimConfig:
                                       # frames (the reference's detached GBA
                                       # thread, LoopClosing.cc:880)
     gba_slice_iters: int = 2          # GBA iterations per frame step
+    distributed_gba: bool = False     # shard post-loop GBA observations over
+                                      # all visible devices (mesh psum Schur
+                                      # reduction, parallel/dist_ba.py)
     sim3_iters: int = 5
     essential_graph_iters: int = 20
     essential_graph_min_covis: int = 100  # covisibility edge weight gate

@@ -153,6 +153,38 @@ def _total_chi2(p: BAProblem, cam: Camera):
     return jnp.sum(c_e * valid_e) + jnp.sum(c_m * valid_m), c_e, c_m
 
 
+class _SegPlan(NamedTuple):
+    """Reusable segment-reduction plan: the edge->segment ids of a BA problem
+    never change across LM/CG iterations, so the argsort + searchsorted of
+    segment_sum_sorted is done ONCE and replayed as gather+cumsum+diff."""
+
+    perm: jnp.ndarray    # [E] sort order of the ids
+    left: jnp.ndarray    # [S] first sorted position of each segment
+    right: jnp.ndarray   # [S] one-past-last sorted position
+
+
+def _make_plan(ids, num_segments: int) -> _SegPlan:
+    idsx = jnp.where((ids >= 0) & (ids < num_segments), ids, num_segments)
+    perm = jnp.argsort(idsx)
+    ss = idsx[perm]
+    rng = jnp.arange(num_segments, dtype=idsx.dtype)
+    return _SegPlan(
+        perm=perm,
+        left=jnp.searchsorted(ss, rng, side="left"),
+        right=jnp.searchsorted(ss, rng, side="right"),
+    )
+
+
+def _seg_reduce(plan: _SegPlan, vals, num_segments: int):
+    E = vals.shape[0]
+    tail = vals.shape[1:]
+    sv = vals.reshape(E, -1)[plan.perm]
+    cs = jnp.cumsum(sv.astype(jnp.float32), axis=0)
+    cs0 = jnp.concatenate([jnp.zeros((1, cs.shape[1]), cs.dtype), cs], axis=0)
+    out = cs0[plan.right] - cs0[plan.left]
+    return out.reshape((num_segments,) + tail).astype(vals.dtype)
+
+
 def ba_solve(
     p: BAProblem,
     cam: Camera,
@@ -161,33 +193,54 @@ def ba_solve(
     use_huber: bool = True,
     lam0: float = 1e-4,
     psum_axis: Optional[str] = None,
+    solver: str = "auto",
+    cg_iters: int = 32,
 ) -> BAResult:
     """Run LM with Schur complement. If `psum_axis` is given, the function is
     being called inside shard_map with edges sharded along that mesh axis: all
     cross-edge reductions gain a psum so every device sees the global normal
-    equations (states are replicated)."""
+    equations (states are replicated).
+
+    solver: "dense" assembles the reduced camera system S explicitly and
+    Cholesky-solves it — right for small windows (local BA). "cg" never forms
+    S: the Schur-complement matvec is evaluated EDGE-WISE (two segment
+    reductions per product) inside a block-Jacobi-preconditioned CG — O(E)
+    per CG step regardless of K, which is what makes whole-map BA (K = 256,
+    L = 20k) and its multi-chip sharding tractable (the dense path's [K, L]
+    block matrices and the 6(K+M) Cholesky are quadratic walls). "auto"
+    picks CG when K > 32."""
     K = p.Rcw.shape[0]
     M = p.Rwm.shape[0]
     D = 6 * (K + M)  # dense system dimension: cameras + markers
+    use_cg = solver == "cg" or (solver == "auto" and K > 32)
 
     def maybe_psum(x):
         if psum_axis is None:
             return x
         return jax.lax.psum(x, psum_axis)
 
+    # segment-reduction plans: the edge->state incidences never change, so
+    # the argsort/searchsorted happen ONCE per solve, not per reduction
+    Lp = p.points.shape[0]
+    plan_pt = _make_plan(p.e_pt, Lp)
+    plan_kf = _make_plan(p.e_kf, K)
+    plan_mkf = _make_plan(p.m_kf, K)
+    plan_mm = _make_plan(p.m_marker, M)
+
     def build_and_step(state, lam):
         Rcw, tcw, points, Rwm, twm = state
         pp = p._replace(Rcw=Rcw, tcw=tcw, points=points, Rwm=Rwm, twm=twm)
         r_e, Jc_e, Jp_e, w_e, _ = _point_edge_terms(pp, cam, huber_delta, use_huber)
         r_m, Jc_m, Jm_m, w_m, _ = _marker_edge_terms(pp, cam, huber_delta, use_huber)
+        L = points.shape[0]
 
         # --- landmark (point) blocks -------------------------------------
         # Hpp[l] = sum_e w JpT Jp (3x3); bp[l] = -sum w JpT r
-        Hpp = segment_sum_sorted(
-            jnp.einsum("fei,f,fej->fij", Jp_e, w_e, Jp_e), p.e_pt, num_segments=points.shape[0]
+        Hpp = _seg_reduce(
+            plan_pt, jnp.einsum("fei,f,fej->fij", Jp_e, w_e, Jp_e), L
         )
-        bp = segment_sum_sorted(
-            -jnp.einsum("fei,f,fe->fi", Jp_e, w_e, r_e), p.e_pt, num_segments=points.shape[0]
+        bp = _seg_reduce(
+            plan_pt, -jnp.einsum("fei,f,fe->fi", Jp_e, w_e, r_e), L
         )
         Hpp = maybe_psum(Hpp)
         bp = maybe_psum(bp)
@@ -200,101 +253,176 @@ def ba_solve(
         )
 
         # --- camera/marker diagonal blocks -------------------------------
-        Hcc = segment_sum_sorted(
-            jnp.einsum("fei,f,fej->fij", Jc_e, w_e, Jc_e), p.e_kf, num_segments=K
-        ) + segment_sum_sorted(
-            jnp.einsum("fei,f,fej->fij", Jc_m, w_m, Jc_m), p.m_kf, num_segments=K
+        Hcc = _seg_reduce(
+            plan_kf, jnp.einsum("fei,f,fej->fij", Jc_e, w_e, Jc_e), K
+        ) + _seg_reduce(
+            plan_mkf, jnp.einsum("fei,f,fej->fij", Jc_m, w_m, Jc_m), K
         )
-        bc = segment_sum_sorted(
-            -jnp.einsum("fei,f,fe->fi", Jc_e, w_e, r_e), p.e_kf, num_segments=K
-        ) + segment_sum_sorted(
-            -jnp.einsum("fei,f,fe->fi", Jc_m, w_m, r_m), p.m_kf, num_segments=K
+        bc = _seg_reduce(
+            plan_kf, -jnp.einsum("fei,f,fe->fi", Jc_e, w_e, r_e), K
+        ) + _seg_reduce(
+            plan_mkf, -jnp.einsum("fei,f,fe->fi", Jc_m, w_m, r_m), K
         )
-        Hmm = segment_sum_sorted(
-            jnp.einsum("fei,f,fej->fij", Jm_m, w_m, Jm_m), p.m_marker, num_segments=M
+        Hmm = _seg_reduce(
+            plan_mm, jnp.einsum("fei,f,fej->fij", Jm_m, w_m, Jm_m), M
         )
-        bm = segment_sum_sorted(
-            -jnp.einsum("fei,f,fe->fi", Jm_m, w_m, r_m), p.m_marker, num_segments=M
+        bm = _seg_reduce(
+            plan_mm, -jnp.einsum("fei,f,fe->fi", Jm_m, w_m, r_m), M
         )
-
-        # camera-marker coupling blocks (dense side, scatter into big S)
-        Hcm_blocks = jnp.einsum("fei,f,fej->fij", Jc_m, w_m, Jm_m)  # [F, 6, 6]
-
-        # --- Schur: S = Hcc_big - W Hpp^-1 W^T ---------------------------
-        # W blocks: per point-edge camera-point coupling [E, 6, 3]
-        Wcp = jnp.einsum("fei,f,fej->fij", Jc_e, w_e, Jp_e)
-        # For each edge pair (e1, e2) sharing a point l, S gets
-        # -Wcp[e1] Hpp_inv[l] Wcp[e2]^T at (kf(e1), kf(e2)). Materializing all
-        # pairs is O(E * max_obs); instead use the standard identity with
-        # per-point aggregation: Y[e] = Wcp[e] @ Hpp_inv[pt(e)], then
-        # S -= sum_{e1,e2 same pt} Y[e1] Wcp[e2]^T. We aggregate per point:
-        # A[l] = sum_{e: pt(e)=l} scatter of Y/W products requires pairwise
-        # terms — done via dense [K*6, L*3] matrices when L is small, or via
-        # the camera-pair scatter below.
-        #
-        # Dense-W formulation (local BA: K<=~100, L<=~12k -> W is [6K, 3L]
-        # ~ 600 x 36000 f32 = 86 MB; acceptable on HBM, matmuls on MXU):
-        Yl = jnp.einsum("fij,fjk->fik", Wcp, Hpp_inv[p.e_pt])  # [E, 6, 3]
-        # The pairwise Schur term needs, for each point, the product of every
-        # pair of observing cameras' coupling blocks. Build dense per-(camera,
-        # point) block matrices by scatter, then one big MXU contraction over
-        # the point axis: S_cc = -Y W^T. [K, L, 6, 3] each.
-        L = points.shape[0]
-        kl_ids = p.e_kf * L + p.e_pt
-        Wmat = segment_sum_sorted(Wcp, kl_ids, K * L).reshape(K, L, 6, 3)
-        Ymat = segment_sum_sorted(Yl, kl_ids, K * L).reshape(K, L, 6, 3)
-        Wmat = maybe_psum(Wmat)
-        Ymat = maybe_psum(Ymat)
-        S_cc = -jnp.einsum("alik,bljk->abij", Ymat, Wmat)  # [K, K, 6, 6]
         Hcc = maybe_psum(Hcc)
         bc = maybe_psum(bc)
         Hmm = maybe_psum(Hmm)
         bm = maybe_psum(bm)
-        S_cc = S_cc.at[jnp.arange(K), jnp.arange(K)].add(Hcc)
-        # reduced rhs: bc_red = bc - Y bp
-        bc_red = bc - jnp.einsum("alik,lk->ai", Ymat, bp)
 
-        # --- assemble dense system over cameras + markers ----------------
-        S = jnp.zeros((D, D), dtype=r_e.dtype)
-        S = S.reshape(K + M, 6, K + M, 6).transpose(0, 2, 1, 3)  # [K+M, K+M, 6, 6]
-        S = S.at[:K, :K].add(S_cc)
-        S = S.at[jnp.arange(K, K + M), jnp.arange(K, K + M)].add(Hmm)
-        # camera-marker couplings (not affected by point marginalization)
-        Hcm_sum = maybe_psum(
-            segment_sum_sorted(
-                Hcm_blocks, p.m_kf * M + p.m_marker, num_segments=K * M
-            ).reshape(K, M, 6, 6)
-        )
-        S = S.at[:K, K:].add(Hcm_sum)
-        S = S.at[K:, :K].add(jnp.swapaxes(jnp.swapaxes(Hcm_sum, 0, 1), -1, -2))
-        b_all = jnp.concatenate([bc_red, bm], axis=0)  # [K+M, 6]
+        # W blocks: per point-edge camera-point coupling [E, 6, 3]
+        Wcp = jnp.einsum("fei,f,fej->fij", Jc_e, w_e, Jp_e)
 
-        # damping on the dense side
-        Sd = S.transpose(0, 2, 1, 3).reshape(D, D)
-        diag = jnp.maximum(jnp.diagonal(Sd), 1e-10)
-        free_vec = jnp.concatenate(
-            [jnp.repeat(p.cam_free, 6), jnp.repeat(p.marker_free, 6)]
-        )
-        # fixed states: unit diagonal rows/cols, zero rhs -> dx = 0
-        Sd = Sd * free_vec[:, None] * free_vec[None, :]
-        Sd = Sd + jnp.diag(lam * diag + 1e-8 + (1.0 - free_vec))
-        rhs = b_all.reshape(D) * free_vec
-        dx_dense = jax.scipy.linalg.cho_solve(
-            jax.scipy.linalg.cho_factor(Sd), rhs
-        )
-        dx_dense = jnp.where(jnp.isfinite(dx_dense), dx_dense, 0.0)
-        dxc = dx_dense[: 6 * K].reshape(K, 6)
-        dxm = dx_dense[6 * K:].reshape(M, 6)
+        free_c = p.cam_free
+        free_m = p.marker_free
+        diag_c = jnp.maximum(jnp.einsum("kii->ki", Hcc), 1e-10)
+        diag_m = jnp.maximum(jnp.einsum("mii->mi", Hmm), 1e-10)
+
+        # reduced rhs: bc_red = bc - W Hpp^-1 bp (edge-wise, no [K, L] blocks)
+        hb = jnp.einsum("lij,lj->li", Hpp_inv, bp)                 # [L, 3]
+        bc_red = bc - maybe_psum(_seg_reduce(
+            plan_kf, jnp.einsum("fij,fj->fi", Wcp, hb[p.e_pt]), K
+        ))
+
+        if use_cg:
+            # ---- matrix-free Schur solve: block-Jacobi PCG ---------------
+            def matvec(xc, xm):
+                xc = xc * free_c[:, None]
+                xm = xm * free_m[:, None]
+                yc = jnp.einsum("kij,kj->ki", Hcc, xc)
+                ym = jnp.einsum("mij,mj->mi", Hmm, xm)
+                # camera<->marker coupling via marker edges
+                t_m = jnp.einsum("fej,fj->fe", Jm_m, xm[p.m_marker])
+                yc = yc + maybe_psum(_seg_reduce(
+                    plan_mkf,
+                    jnp.einsum("fei,fe,f->fi", Jc_m, t_m, w_m), K,
+                ))
+                t_c = jnp.einsum("fei,fi->fe", Jc_m, xc[p.m_kf])
+                ym = ym + maybe_psum(_seg_reduce(
+                    plan_mm,
+                    jnp.einsum("fej,fe,f->fj", Jm_m, t_c, w_m), M,
+                ))
+                # Schur subtraction: W Hpp^-1 W^T xc, two segment reductions
+                u = maybe_psum(_seg_reduce(
+                    plan_pt, jnp.einsum("fij,fi->fj", Wcp, xc[p.e_kf]), L
+                ))                                                # [L, 3]
+                s = jnp.einsum("lij,lj->li", Hpp_inv, u)
+                yc = yc - maybe_psum(_seg_reduce(
+                    plan_kf, jnp.einsum("fij,fj->fi", Wcp, s[p.e_pt]), K
+                ))
+                # LM damping; fixed states act as identity rows
+                yc = (yc + lam * diag_c * xc + 1e-8 * xc) * free_c[:, None]
+                ym = (ym + lam * diag_m * xm + 1e-8 * xm) * free_m[:, None]
+                return yc, ym
+
+            Pc = jnp.linalg.inv(
+                Hcc + diag_embed(lam * diag_c) + 1e-7 * jnp.eye(6)
+            )
+            Pm = jnp.linalg.inv(
+                Hmm + diag_embed(lam * diag_m) + 1e-7 * jnp.eye(6)
+            )
+
+            def precond(rc, rm):
+                return (
+                    jnp.einsum("kij,kj->ki", Pc, rc) * free_c[:, None],
+                    jnp.einsum("mij,mj->mi", Pm, rm) * free_m[:, None],
+                )
+
+            def dot(ac, am, bc2, bm2):
+                return jnp.sum(ac * bc2) + jnp.sum(am * bm2)
+
+            b_c = bc_red * free_c[:, None]
+            b_m = bm * free_m[:, None]
+            x_c = jnp.zeros_like(b_c)
+            x_m = jnp.zeros_like(b_m)
+            r_c, r_m = b_c, b_m
+            z_c, z_m = precond(r_c, r_m)
+            rz = dot(r_c, r_m, z_c, z_m)
+            tol2 = 1e-8 * jnp.maximum(dot(b_c, b_m, b_c, b_m), 1e-20)
+
+            def cg_cond(s):
+                _, _, _, _, _, _, rz_, it = s
+                return (it < cg_iters) & (rz_ > tol2)
+
+            def cg_step(s):
+                x_c, x_m, r_c, r_m, p_c, p_m, rz_, it = s
+                Ap_c, Ap_m = matvec(p_c, p_m)
+                alpha = rz_ / jnp.maximum(dot(p_c, p_m, Ap_c, Ap_m), 1e-20)
+                x_c = x_c + alpha * p_c
+                x_m = x_m + alpha * p_m
+                r_c = r_c - alpha * Ap_c
+                r_m = r_m - alpha * Ap_m
+                z_c, z_m = precond(r_c, r_m)
+                rz_new = dot(r_c, r_m, z_c, z_m)
+                beta = rz_new / jnp.maximum(rz_, 1e-20)
+                p_c = z_c + beta * p_c
+                p_m = z_m + beta * p_m
+                return x_c, x_m, r_c, r_m, p_c, p_m, rz_new, it + 1
+
+            x_c, x_m, _, _, _, _, _, _ = jax.lax.while_loop(
+                cg_cond, cg_step,
+                (x_c, x_m, r_c, r_m, z_c, z_m, rz, jnp.int32(0)),
+            )
+            dxc = jnp.where(jnp.isfinite(x_c), x_c, 0.0)
+            dxm = jnp.where(jnp.isfinite(x_m), x_m, 0.0)
+        else:
+            # ---- dense reduced camera system + Cholesky ------------------
+            # S -= W Hpp^-1 W^T via per-(camera, point) block matrices and
+            # one MXU contraction over the point axis (fine while K*L is
+            # small — local BA windows)
+            Yl = jnp.einsum("fij,fjk->fik", Wcp, Hpp_inv[p.e_pt])  # [E, 6, 3]
+            kl_ids = p.e_kf * L + p.e_pt
+            Wmat = segment_sum_sorted(Wcp, kl_ids, K * L).reshape(K, L, 6, 3)
+            Ymat = segment_sum_sorted(Yl, kl_ids, K * L).reshape(K, L, 6, 3)
+            Wmat = maybe_psum(Wmat)
+            Ymat = maybe_psum(Ymat)
+            S_cc = -jnp.einsum("alik,bljk->abij", Ymat, Wmat)  # [K, K, 6, 6]
+            S_cc = S_cc.at[jnp.arange(K), jnp.arange(K)].add(Hcc)
+
+            # --- assemble dense system over cameras + markers -------------
+            S = jnp.zeros((D, D), dtype=r_e.dtype)
+            S = S.reshape(K + M, 6, K + M, 6).transpose(0, 2, 1, 3)
+            S = S.at[:K, :K].add(S_cc)
+            S = S.at[jnp.arange(K, K + M), jnp.arange(K, K + M)].add(Hmm)
+            # camera-marker couplings (unaffected by point marginalization)
+            Hcm_blocks = jnp.einsum("fei,f,fej->fij", Jc_m, w_m, Jm_m)
+            Hcm_sum = maybe_psum(
+                segment_sum_sorted(
+                    Hcm_blocks, p.m_kf * M + p.m_marker, num_segments=K * M
+                ).reshape(K, M, 6, 6)
+            )
+            S = S.at[:K, K:].add(Hcm_sum)
+            S = S.at[K:, :K].add(
+                jnp.swapaxes(jnp.swapaxes(Hcm_sum, 0, 1), -1, -2)
+            )
+            b_all = jnp.concatenate([bc_red, bm], axis=0)  # [K+M, 6]
+
+            # damping on the dense side
+            Sd = S.transpose(0, 2, 1, 3).reshape(D, D)
+            diag = jnp.maximum(jnp.diagonal(Sd), 1e-10)
+            free_vec = jnp.concatenate(
+                [jnp.repeat(p.cam_free, 6), jnp.repeat(p.marker_free, 6)]
+            )
+            # fixed states: unit diagonal rows/cols, zero rhs -> dx = 0
+            Sd = Sd * free_vec[:, None] * free_vec[None, :]
+            Sd = Sd + jnp.diag(lam * diag + 1e-8 + (1.0 - free_vec))
+            rhs = b_all.reshape(D) * free_vec
+            dx_dense = jax.scipy.linalg.cho_solve(
+                jax.scipy.linalg.cho_factor(Sd), rhs
+            )
+            dx_dense = jnp.where(jnp.isfinite(dx_dense), dx_dense, 0.0)
+            dxc = dx_dense[: 6 * K].reshape(K, 6)
+            dxm = dx_dense[6 * K:].reshape(M, 6)
 
         # --- back-substitute points --------------------------------------
         # dp[l] = Hpp_inv (bp - W^T dxc) ; W^T dxc aggregated over edges
-        Wt_dxc = maybe_psum(
-            segment_sum_sorted(
-                jnp.einsum("fij,fi->fj", Wcp, dxc[p.e_kf]),
-                p.e_pt,
-                num_segments=L,
-            )
-        )
+        Wt_dxc = maybe_psum(_seg_reduce(
+            plan_pt, jnp.einsum("fij,fi->fj", Wcp, dxc[p.e_kf]), L
+        ))
         dp = jnp.einsum("lij,lj->li", Hpp_inv, bp - Wt_dxc)
         dp = dp * p.pt_free[:, None]
         dp = jnp.where(jnp.isfinite(dp), dp, 0.0)

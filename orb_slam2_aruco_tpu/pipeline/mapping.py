@@ -411,23 +411,21 @@ def cull_points(state: MapState, current_kf_count, min_found_ratio: float = 0.25
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "max_cams", "max_pts", "iters", "window_all")
+    jax.jit, static_argnames=("cfg", "max_cams", "max_pts", "window_all")
 )
-def bundle_adjust(
+def build_ba_problem(
     state: MapState,
     center_kf,
-    cam: Camera,
     cfg: SlamConfig,
     max_cams: int = 16,
     max_pts: int = 4096,
-    iters: int = 10,
     window_all: bool = False,
 ):
-    """Windowed BA over the newest `max_cams` keyframes (LocalBundleAdjustment,
-    reference src/Optimizer.cc:772-1242) or all keyframes (global BA) when
-    window_all. The oldest selected camera (and the map's first keyframe) are
-    held fixed as gauge anchors; all valid markers participate with corner
-    edges at weight 25."""
+    """Window selection + edge-list construction for bundle adjustment
+    (the problem-building half of LocalBundleAdjustment/GlobalBA). Returns
+    (prob, sel, sel_ok, pt_sel, pt_ok) so the solve can run locally
+    (optim.ba.ba_solve) or sharded over a device mesh
+    (parallel.dist_ba.distributed_ba_solve)."""
     K, N = state.kf_obs_point.shape
     A = state.kf_mk_slot.shape[1]
     M = state.M
@@ -527,11 +525,22 @@ def bundle_adjust(
         pt_free=pt_ok.astype(jnp.float32),
         marker_free=state.mk_valid.astype(jnp.float32),
     )
-    out = ba.ba_solve(
-        prob, cam, iters=iters,
-        huber_delta=cfg.optim.huber_delta,
-        lam0=cfg.optim.lm_lambda_init,
-    )
+    return prob, sel, sel_ok, pt_sel, pt_ok
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def writeback_ba(
+    state: MapState,
+    out,                    # ba.BAResult
+    e_mask,                 # [E] the problem's point-edge mask
+    sel, sel_ok, pt_sel, pt_ok,
+    cfg: SlamConfig,
+):
+    """Scatter a BA solution back into the map state (the write-back half of
+    LocalBundleAdjustment, reference Optimizer.cc:1207-1240, including the
+    chi2 > 5.991 outlier-observation erase :1171-1201)."""
+    K, N = state.kf_obs_point.shape
+    max_cams = sel.shape[0]
     # ---- write back (scatter with one pad row so masked rows are no-ops) ----
     padR = jnp.zeros((1, 3, 3), state.kf_Rcw.dtype)
     kf_Rcw = jnp.concatenate([state.kf_Rcw, padR]).at[
@@ -573,6 +582,73 @@ def bundle_adjust(
         mk_twm=jnp.where(state.mk_valid[:, None], out.twm, state.mk_twm),
     )
     return state, out.chi2
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "max_cams", "max_pts", "iters", "window_all")
+)
+def bundle_adjust(
+    state: MapState,
+    center_kf,
+    cam: Camera,
+    cfg: SlamConfig,
+    max_cams: int = 16,
+    max_pts: int = 4096,
+    iters: int = 10,
+    window_all: bool = False,
+):
+    """Windowed BA over the newest `max_cams` keyframes (LocalBundleAdjustment,
+    reference src/Optimizer.cc:772-1242) or all keyframes (global BA) when
+    window_all. The oldest selected camera (and the map's first keyframe) are
+    held fixed as gauge anchors; all valid markers participate with corner
+    edges at weight 25. Small windows solve the reduced camera system
+    densely; large ones use the matrix-free PCG path (optim.ba.ba_solve
+    solver='auto')."""
+    prob, sel, sel_ok, pt_sel, pt_ok = build_ba_problem(
+        state, center_kf, cfg, max_cams=max_cams, max_pts=max_pts,
+        window_all=window_all,
+    )
+    out = ba.ba_solve(
+        prob, cam, iters=iters,
+        huber_delta=cfg.optim.huber_delta,
+        lam0=cfg.optim.lm_lambda_init,
+    )
+    return writeback_ba(state, out, prob.e_mask, sel, sel_ok, pt_sel, pt_ok,
+                        cfg)
+
+
+def bundle_adjust_distributed(
+    state: MapState,
+    center_kf,
+    cam: Camera,
+    cfg: SlamConfig,
+    mesh,
+    max_cams: int = 256,
+    max_pts: int = 8192,
+    iters: int = 10,
+    window_all: bool = True,
+):
+    """Global BA with observations sharded over a device mesh
+    (parallel.dist_ba.distributed_ba_solve): the same build/write-back as
+    bundle_adjust, the Schur solve's segment reductions psum'd over ICI —
+    the north-star distributed GBA wired to the live map state. Enabled in
+    the tracking loop via cfg.optim.distributed_gba."""
+    from orb_slam2_aruco_tpu.parallel import dist_ba
+
+    prob, sel, sel_ok, pt_sel, pt_ok = build_ba_problem(
+        state, center_kf, cfg, max_cams=max_cams, max_pts=max_pts,
+        window_all=window_all,
+    )
+    out = dist_ba.distributed_ba_solve(
+        prob, cam, mesh, iters=iters,
+        huber_delta=cfg.optim.huber_delta,
+        lam0=cfg.optim.lm_lambda_init,
+    )
+    # distributed_ba_solve pads the edge lists to the mesh size; the write-
+    # back indexes edges by the ORIGINAL [max_cams * N] layout
+    out = out._replace(edge_chi2=out.edge_chi2[: prob.e_kf.shape[0]])
+    return writeback_ba(state, out, prob.e_mask, sel, sel_ok, pt_sel, pt_ok,
+                        cfg)
 
 
 # ---------------------------------------------------------------------------

@@ -666,12 +666,25 @@ class SlamSystem:
         ref = jnp.asarray(self.ref_kf)
         R_ref0 = self.map.kf_Rcw[ref]
         t_ref0 = self.map.kf_tcw[ref]
-        self.map, _ = mapping.bundle_adjust(
-            self.map, jnp.asarray(self.last_kf_slot), self.cam, cfg,
-            max_cams=cfg.map.max_keyframes,
-            max_pts=min(8192, cfg.map.max_points),
-            iters=cfg.optim.gba_slice_iters, window_all=True,
-        )
+        if cfg.optim.distributed_gba and len(jax.devices()) > 1:
+            from orb_slam2_aruco_tpu.parallel import dist_ba
+
+            if getattr(self, "_gba_mesh", None) is None:
+                self._gba_mesh = dist_ba.make_mesh()
+            self.map, _ = mapping.bundle_adjust_distributed(
+                self.map, jnp.asarray(self.last_kf_slot), self.cam, cfg,
+                self._gba_mesh,
+                max_cams=cfg.map.max_keyframes,
+                max_pts=min(8192, cfg.map.max_points),
+                iters=cfg.optim.gba_slice_iters, window_all=True,
+            )
+        else:
+            self.map, _ = mapping.bundle_adjust(
+                self.map, jnp.asarray(self.last_kf_slot), self.cam, cfg,
+                max_cams=cfg.map.max_keyframes,
+                max_pts=min(8192, cfg.map.max_points),
+                iters=cfg.optim.gba_slice_iters, window_all=True,
+            )
         self.pending_gba_iters -= cfg.optim.gba_slice_iters
         self.stats["gba_slices"] = self.stats.get("gba_slices", 0) + 1
         # halfway through: one more whole-map fuse — duplicates that only

@@ -284,3 +284,63 @@ def test_ransac_pnp_with_outliers(rng):
     assert inl[:30].sum() <= 2 and inl[30:].sum() >= 85
     np.testing.assert_allclose(np.asarray(res.Rcw), np.asarray(R_true), atol=5e-3)
     np.testing.assert_allclose(np.asarray(res.tcw), np.asarray(t_true), atol=5e-2)
+
+
+def test_ba_cg_matches_dense():
+    """The matrix-free PCG Schur solve must reach the same optimum as the
+    dense Cholesky path on a synthetic BA problem large enough to trip the
+    auto-CG threshold (K > 32)."""
+    import numpy as np
+    from orb_slam2_aruco_tpu.optim import ba as ba_mod
+
+    rng = np.random.default_rng(3)
+    K, L = 40, 600
+    pts = np.stack([rng.uniform(-2, 2, L), rng.uniform(-1.5, 1.5, L),
+                    rng.uniform(4, 8, L)], axis=-1).astype(np.float32)
+    Rs, ts, e_kf, e_pt, e_uv = [], [], [], [], []
+    for k in range(K):
+        ang = 0.02 * rng.normal(size=3)
+        from orb_slam2_aruco_tpu.geometry.lie import so3_exp
+        R = np.asarray(so3_exp(jnp.asarray(ang, dtype=jnp.float32)))
+        t = np.asarray([0.08 * k, 0.0, 0.0], dtype=np.float32)
+        Rs.append(R); ts.append(t)
+        pc = pts @ R.T + t
+        uv = np.stack([CAM.fx * pc[:, 0] / pc[:, 2] + CAM.cx,
+                       CAM.fy * pc[:, 1] / pc[:, 2] + CAM.cy], axis=-1)
+        sel = rng.permutation(L)[:120]
+        e_kf += [k] * len(sel)
+        e_pt += sel.tolist()
+        e_uv += (uv[sel] + rng.normal(0, 0.3, (len(sel), 2))).tolist()
+    E = len(e_kf)
+    # noisy initial states
+    t_noisy = np.asarray(ts) + rng.normal(0, 0.01, (K, 3)).astype(np.float32)
+    t_noisy[0] = ts[0]
+    pts_noisy = pts + rng.normal(0, 0.02, pts.shape).astype(np.float32)
+    M = 2
+    prob = ba_mod.BAProblem(
+        Rcw=jnp.asarray(np.asarray(Rs)), tcw=jnp.asarray(t_noisy),
+        points=jnp.asarray(pts_noisy),
+        Rwm=jnp.broadcast_to(jnp.eye(3), (M, 3, 3)),
+        twm=jnp.zeros((M, 3)), marker_side=jnp.full((M,), 0.165),
+        e_kf=jnp.asarray(e_kf, jnp.int32), e_pt=jnp.asarray(e_pt, jnp.int32),
+        e_uv=jnp.asarray(e_uv, jnp.float32),
+        e_info=jnp.ones((E,)), e_mask=jnp.ones((E,)),
+        m_kf=jnp.zeros((8,), jnp.int32), m_marker=jnp.zeros((8,), jnp.int32),
+        m_corner=jnp.tile(jnp.arange(4), 2), m_uv=jnp.zeros((8, 2)),
+        m_info=jnp.ones((8,)), m_mask=jnp.zeros((8,)),
+        cam_free=jnp.ones((K,)).at[0].set(0.0),
+        pt_free=jnp.ones((L,)),
+        marker_free=jnp.zeros((M,)),
+    )
+    cam = CAM
+    out_d = ba_mod.ba_solve(prob, cam, iters=8, solver="dense")
+    out_c = ba_mod.ba_solve(prob, cam, iters=8, solver="cg")
+    chi0 = float(ba_mod._total_chi2(prob, cam)[0])
+    cd = float(out_d.chi2)
+    cc = float(out_c.chi2)
+    assert cd < 0.1 * chi0
+    assert cc < 0.1 * chi0
+    # same optimum within a whisker
+    assert cc <= 1.2 * cd, (cc, cd, chi0)
+    np.testing.assert_allclose(np.asarray(out_c.tcw), np.asarray(out_d.tcw),
+                               atol=5e-3)
