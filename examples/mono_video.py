@@ -32,6 +32,31 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 import numpy as np
 
 
+def _viewer_tick(viewer, slam, img):
+    """Publish frame + map to the live viewer and apply UI commands
+    (the Viewer->Tracking menu flag protocol, reference Viewer.cc:71-78)."""
+    import numpy as np
+
+    from orb_slam2_aruco_tpu.viz import framedrawer
+
+    rgb = None
+    if slam.last_frame is not None:
+        uv = np.asarray(slam.last_frame.kp_uv)
+        valid = np.asarray(slam.last_frame.kp_valid)
+        tracked = (np.asarray(slam.last_obs) >= 0) & valid if (
+            slam.last_obs is not None) else valid
+        rgb, _ = framedrawer.draw_frame(np.asarray(img), uv, tracked)
+    viewer.update(slam, frame_rgb=rgb)
+    for cmd, val in viewer.poll_controls().items():
+        if cmd == "reset" and val:
+            slam.reset()
+        elif cmd == "localization":
+            if val:
+                slam.activate_localization_mode()
+            else:
+                slam.deactivate_localization_mode()
+
+
 def main():
     ap = argparse.ArgumentParser()
     src = ap.add_mutually_exclusive_group(required=True)
@@ -55,6 +80,9 @@ def main():
     ap.add_argument("--two-pass", action="store_true")
     ap.add_argument("--chunk", type=int, default=8)
     ap.add_argument("--save-map", type=str, default="")
+    ap.add_argument("--viewer", type=int, default=-1, metavar="PORT",
+                    help="serve the live map viewer on this port "
+                         "(0 = auto-pick; open http://127.0.0.1:PORT)")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -95,6 +123,12 @@ def main():
                                           times_file=args.times or None)
 
     slam = SlamSystem(cfg)
+    viewer = None
+    if args.viewer >= 0:
+        from orb_slam2_aruco_tpu.viz.viewer import MapViewer
+
+        viewer = MapViewer(port=args.viewer, snapshot_every=4)
+        print(f"viewer: http://127.0.0.1:{viewer.port}")
     timer = FrameTimer(warmup=5)
     frames_kept = []      # for the optional second pass
     n = 0
@@ -104,6 +138,8 @@ def main():
         if args.two_pass:
             frames_kept.append((img, ts))
         n += 1
+        if viewer is not None:
+            _viewer_tick(viewer, slam, img)
         print(f"\rframe {n} [{slam.state.name}] kf={slam.n_keyframes}",
               end="")
         if args.max_frames and n >= args.max_frames:

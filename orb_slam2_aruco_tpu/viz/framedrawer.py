@@ -118,8 +118,8 @@ def draw_map_topdown(
     return img
 
 
-def save_png(path: str, rgb: np.ndarray) -> None:
-    """Minimal PNG writer (no imaging dependency)."""
+def encode_png(rgb: np.ndarray) -> bytes:
+    """Minimal in-memory PNG encoder (no imaging dependency)."""
     import struct
     import zlib
 
@@ -134,11 +134,15 @@ def save_png(path: str, rgb: np.ndarray) -> None:
             ">I", zlib.crc32(c) & 0xFFFFFFFF
         )
 
-    png = (
+    return (
         b"\x89PNG\r\n\x1a\n"
         + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
         + chunk(b"IDAT", zlib.compress(raw, 6))
         + chunk(b"IEND", b"")
     )
+
+
+def save_png(path: str, rgb: np.ndarray) -> None:
+    """Minimal PNG writer (no imaging dependency)."""
     with open(path, "wb") as f:
-        f.write(png)
+        f.write(encode_png(rgb))
