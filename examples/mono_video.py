@@ -32,20 +32,34 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 import numpy as np
 
 
-def _viewer_tick(viewer, slam, img):
+def _viewer_tick(viewer, slam, img, publish_frame=True):
     """Publish frame + map to the live viewer and apply UI commands
-    (the Viewer->Tracking menu flag protocol, reference Viewer.cc:71-78)."""
+    (the Viewer->Tracking menu flag protocol, reference Viewer.cc:71-78).
+
+    `publish_frame` gates the expensive part: the keypoint overlay forces a
+    device sync (np.asarray of kp_uv/kp_valid/last_obs) plus a full-res
+    numpy draw — the caller decimates it so the tracking hot path is not
+    dominated by viewer work that browsers only poll at ~4 Hz."""
     import numpy as np
 
+    from orb_slam2_aruco_tpu.pipeline.system import TrackingState
     from orb_slam2_aruco_tpu.viz import framedrawer
 
     rgb = None
-    if slam.last_frame is not None:
-        uv = np.asarray(slam.last_frame.kp_uv)
-        valid = np.asarray(slam.last_frame.kp_valid)
-        tracked = (np.asarray(slam.last_obs) >= 0) & valid if (
-            slam.last_obs is not None) else valid
-        rgb, _ = framedrawer.draw_frame(np.asarray(img), uv, tracked)
+    if publish_frame:
+        if slam.last_frame is not None and slam.state is TrackingState.OK:
+            uv = np.asarray(slam.last_frame.kp_uv)
+            valid = np.asarray(slam.last_frame.kp_valid)
+            tracked = (np.asarray(slam.last_obs) >= 0) & valid if (
+                slam.last_obs is not None) else valid
+            rgb, _ = framedrawer.draw_frame(np.asarray(img), uv, tracked)
+        else:
+            # LOST / uninitialized: the retained last_frame keypoints are
+            # stale — publish the raw frame instead of a misleading overlay
+            rgb = np.repeat(
+                np.clip(np.asarray(img), 0, 255).astype(np.uint8)[..., None],
+                3, axis=-1,
+            )
     viewer.update(slam, frame_rgb=rgb)
     for cmd, val in viewer.poll_controls().items():
         if cmd == "reset" and val:
@@ -139,7 +153,10 @@ def main():
             frames_kept.append((img, ts))
         n += 1
         if viewer is not None:
-            _viewer_tick(viewer, slam, img)
+            # controls every frame (cheap); frame overlay + map snapshot at
+            # ~4 publishes/s worth of frames (browsers poll every 250 ms)
+            _viewer_tick(viewer, slam, img,
+                         publish_frame=(n % max(1, int(camc.fps // 4)) == 0))
         print(f"\rframe {n} [{slam.state.name}] kf={slam.n_keyframes}",
               end="")
         if args.max_frames and n >= args.max_frames:
@@ -160,8 +177,8 @@ def main():
     )
     print(f"pass-1 trajectory ({len(records)} poses) -> {args.out}")
     if args.kf_out:
-        fids, Rs, ts_ = slam.keyframe_trajectory()
-        trajectory.save_tum(args.kf_out, fids / camc.fps, Rs, ts_)
+        fids, tss, Rs, ts_ = slam.keyframe_trajectory()
+        trajectory.save_tum(args.kf_out, tss, Rs, ts_)
         print(f"keyframe trajectory -> {args.kf_out}")
 
     if args.two_pass and frames_kept:

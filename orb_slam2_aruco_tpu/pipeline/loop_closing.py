@@ -485,6 +485,20 @@ def covis_weight(state: MapState, kf_a, kf_b):
     return W[kf_a, kf_b]
 
 
+@functools.partial(jax.jit, static_argnames=())
+def covis_row(state: MapState, kf):
+    """One keyframe's covisibility weights against every keyframe — shared
+    valid-point counts via the [L, K] incidence, WITHOUT forming the full
+    K x K matrix (the ConsistencyTracker needs a handful of entries per
+    candidate, not a K x L x K matmul per membership query)."""
+    row = state.pt_obs_kf[:, kf] & state.pt_valid            # [L]
+    inc = state.pt_obs_kf & state.kf_valid[None, :]          # [L, K]
+    return jnp.dot(
+        row.astype(jnp.float32), inc.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    ).astype(jnp.int32)
+
+
 class ConsistencyTracker:
     """Host-side 3-consecutive-consistency gate for BoW loop candidates
     (reference DetectLoop consistency groups, src/LoopClosing.cc:260-319):
@@ -501,11 +515,14 @@ class ConsistencyTracker:
         new_prev = []
         accepted = False
         matched = False
+        # ONE covisibility-row dispatch per candidate; every previous-group
+        # membership query reads from it
+        row = (
+            _np.asarray(covis_row(state, jnp.asarray(cand_kf)))
+            if self.prev else None
+        )
         for kf_old, count in self.prev:
-            consistent = kf_old == cand_kf or (
-                int(covis_weight(state, jnp.asarray(cand_kf),
-                                 jnp.asarray(kf_old))) >= 15
-            )
+            consistent = kf_old == cand_kf or int(row[kf_old]) >= 15
             if consistent:
                 matched = True
                 new_prev.append((cand_kf, count + 1))

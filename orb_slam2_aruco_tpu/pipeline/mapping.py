@@ -99,6 +99,8 @@ def create_keyframe(
         kf_valid=state.kf_valid.at[k].set(True),
         kf_frame_id=state.kf_frame_id.at[k].set(frame_id),
         kf_ts=state.kf_ts.at[k].set(ts),
+        kf_seq=state.kf_seq.at[k].set(state.next_seq),
+        next_seq=state.next_seq + 1,
         kf_kp_uv=state.kf_kp_uv.at[k].set(frame.kp_uv),
         kf_kp_octave=state.kf_kp_octave.at[k].set(frame.kp_octave),
         kf_kp_angle=state.kf_kp_angle.at[k].set(frame.kp_angle),
@@ -279,7 +281,14 @@ def _triangulate_pair(
         pt_min_dist=scat(state.pt_min_dist, min_d),
         pt_max_dist=scat(state.pt_max_dist, max_d),
         pt_ref_kf=scat(state.pt_ref_kf, jnp.full((Nb,), 1, jnp.int32) * kf_new),
-        pt_first_kf=scat(state.pt_first_kf, jnp.full((Nb,), 1, jnp.int32) * kf_new),
+        # creation stamp = the creating keyframe's INSERTION SEQUENCE, not its
+        # slot: slot indices are recycled by keyframe culling, which would make
+        # probation age (cull_points) and fusion ordering (fuse_duplicates)
+        # wrong on long sequences at capacity
+        pt_first_kf=scat(
+            state.pt_first_kf,
+            jnp.broadcast_to(state.kf_seq[kf_new], (Nb,)).astype(jnp.int32),
+        ),
         pt_found=scat(state.pt_found, jnp.ones((Nb,))),
         pt_visible=scat(state.pt_visible, jnp.ones((Nb,))),
     )
@@ -376,18 +385,23 @@ def triangulate_vs_covisible(
 
 
 @jax.jit
-def cull_points(state: MapState, current_kf_count, min_found_ratio: float = 0.25):
+def cull_points(state: MapState, min_found_ratio: float = 0.25):
     """MapPointCulling (reference src/LocalMapping.cc:185-220): drop RECENT
     points whose found/visible ratio is poor or that gathered too few
     keyframe observations. Crucially the reference applies both rules only
     while a point sits in the recently-added list (age <= 3 keyframes since
     creation); a point that survives its probation is never culled here —
-    established map regions must stay intact for loop-closure matching."""
+    established map regions must stay intact for loop-closure matching.
+
+    Age is measured in INSERTION SEQUENCE numbers (pt_first_kf holds the
+    creating keyframe's kf_seq), so it stays correct when keyframe slots are
+    recycled by culling on capacity-bound long sequences."""
     ratio = state.pt_found / jnp.maximum(state.pt_visible, 1.0)
     cnt = jnp.sum(
         state.pt_obs_kf & state.kf_valid[None, :], axis=1, dtype=jnp.int32
     )
-    age = current_kf_count - jnp.maximum(state.pt_first_kf, 0)
+    latest_seq = state.next_seq - 1
+    age = latest_seq - jnp.maximum(state.pt_first_kf, 0)
     recent = age <= 3
     bad = state.pt_valid & recent & (
         (ratio < min_found_ratio) | ((age >= 2) & (cnt <= 2))
@@ -994,7 +1008,8 @@ def fuse_duplicates(state: MapState, kf, cam: Camera, cfg: SlamConfig,
         & (d2 < radius * radius)
         & (hamm < cfg.matcher.th_low)
     )
-    # only merge INTO a strictly older (lower first_kf, then lower slot) point
+    # only merge INTO a strictly older point — ordered by creation SEQUENCE
+    # (pt_first_kf holds kf_seq, monotone under slot recycling), slot as tiebreak
     first_mine = state.pt_first_kf[my_slot]
     older = (state.pt_first_kf[None, :] < first_mine[:, None]) | (
         (state.pt_first_kf[None, :] == first_mine[:, None])

@@ -60,6 +60,10 @@ class SlamSystem:
         self.ref_kf = 0
         self.last_kf_slot = -1
         self.prev_kf_slot = -1
+        # authoritative per-keyframe-slot timestamps in float64: epoch-scale
+        # stamps (the reference's stem/1e6 LoadImages convention can be epoch
+        # seconds) lose ~100 s of precision in the device-side float32 kf_ts
+        self.kf_ts64 = np.zeros(cfg.map.max_keyframes, np.float64)
         # last-frame context for motion-model matching
         self.last_frame: Optional[Frame] = None
         self.last_obs = None
@@ -147,9 +151,11 @@ class SlamSystem:
             vR, vt, hv,
             self.last_frame.kp_uv, self.last_frame.desc, self.last_obs,
             self.last_frame.kp_valid, self.last_frame.kp_octave,
+            self.last_frame.kp_angle,
             jnp.asarray(self.ref_kf), self.cam, self.cfg,
         )
-        (Rl, tl, vR2, vt2, _, luv, ldesc, lobs, lval, loct, vis, found) = carry
+        (Rl, tl, vR2, vt2, _, luv, ldesc, lobs, lval, loct, lang, vis,
+         found) = carry
         c = np.asarray(ctrls)                       # ONE readback per chunk
         poses = []
         lost_at = B
@@ -168,7 +174,8 @@ class SlamSystem:
         if lost_at == B:
             self.map = self.map._replace(pt_visible=vis, pt_found=found)
             self.last_frame = self.last_frame._replace(
-                kp_uv=luv, desc=ldesc, kp_valid=lval, kp_octave=loct
+                kp_uv=luv, desc=ldesc, kp_valid=lval, kp_octave=loct,
+                kp_angle=lang,
             )
             self.last_obs = lobs
             self.last_pose = (Rl, tl)
@@ -215,15 +222,17 @@ class SlamSystem:
                 vR, vt, hv,
                 self.last_frame.kp_uv, self.last_frame.desc, self.last_obs,
                 self.last_frame.kp_valid, self.last_frame.kp_octave,
+                self.last_frame.kp_angle,
                 jnp.asarray(self.ref_kf), self.cam, self.cfg,
             )
             # commit the device-side carry immediately (speculative): the
             # next chunk chains on-device without waiting for the readback
-            (Rl, tl, vR2, vt2, _, luv, ldesc, lobs, lval, loct, vis,
-             found) = carry
+            (Rl, tl, vR2, vt2, _, luv, ldesc, lobs, lval, loct, lang,
+             vis, found) = carry
             self.map = self.map._replace(pt_visible=vis, pt_found=found)
             self.last_frame = self.last_frame._replace(
-                kp_uv=luv, desc=ldesc, kp_valid=lval, kp_octave=loct
+                kp_uv=luv, desc=ldesc, kp_valid=lval, kp_octave=loct,
+                kp_angle=lang,
             )
             self.last_obs = lobs
             self.last_pose = (Rl, tl)
@@ -382,6 +391,8 @@ class SlamSystem:
         # marker init is metric (IPPE with true side length); classic init
         # leaves scale_done False so aruco_plane_update can rescale later
         self.map = self.map._replace(scale_done=jnp.asarray(metric))
+        self.kf_ts64[int(kf1)] = self.init_ts
+        self.kf_ts64[int(kf2)] = ts
         self.n_keyframes = 2
         self.stats["kf_inserted"] += 2
         self.stats["pts_created"] += int(n_new)
@@ -413,6 +424,7 @@ class SlamSystem:
             self.last_pose[0], self.last_pose[1],
             self.last_frame.kp_uv, self.last_frame.desc, self.last_obs,
             self.last_frame.kp_valid, self.last_frame.kp_octave,
+            self.last_frame.kp_angle,
             jnp.asarray(self.ref_kf), self.cam, cfg,
         )
         # ONE device->host read per frame: the relay's per-readback latency
@@ -524,6 +536,7 @@ class SlamSystem:
         )
         self.n_keyframes += 1
         self.stats["kf_inserted"] += 1
+        self.kf_ts64[int(k)] = ts
         prev = self.last_kf_slot
         prev2 = self.prev_kf_slot
         self.prev_kf_slot = prev
@@ -538,10 +551,7 @@ class SlamSystem:
             n_neighbors=cfg.map.triangulation_neighbors, max_new=256,
         )
         self.stats["pts_created"] += int(n_new)
-        self.map, _ = mapping.cull_points(
-            self.map, jnp.asarray(self.n_keyframes, jnp.int32),
-            cfg.map.cull_found_ratio,
-        )
+        self.map, _ = mapping.cull_points(self.map, cfg.map.cull_found_ratio)
         # merge duplicated points (SearchInNeighbors/Fuse)
         self.map, n_fused = mapping.fuse_duplicates(
             self.map, jnp.asarray(int(k)), self.cam, cfg
@@ -809,6 +819,7 @@ class SlamSystem:
         self.last_pose = None
         self.vel = None
         self.init_frame = None
+        self.kf_ts64 = np.zeros(self.cfg.map.max_keyframes, np.float64)
         self.bow_consistency.reset()
         self.pending_gba_iters = 0
         self.pending_gba_fuse = False
@@ -819,21 +830,23 @@ class SlamSystem:
     def keyframe_trajectory(self):
         """Final keyframe poses from the (loop-corrected) map — the
         reference's SaveKeyFrameTrajectoryTUM source (System.cc:287-321).
-        Returns (frame_ids [n], Rcw [n,3,3], tcw [n,3]) sorted by frame."""
+        Returns (frame_ids [n], timestamps [n] float64, Rcw [n,3,3],
+        tcw [n,3]) sorted by frame."""
         self.flush()   # drain any pending post-loop GBA slices first
         valid = np.asarray(self.map.kf_valid)
         fids = np.asarray(self.map.kf_frame_id)[valid]
+        tss = self.kf_ts64[valid]
         Rcw = np.asarray(self.map.kf_Rcw)[valid]
         tcw = np.asarray(self.map.kf_tcw)[valid]
         order = np.argsort(fids)
-        return fids[order], Rcw[order], tcw[order]
+        return fids[order], tss[order], Rcw[order], tcw[order]
 
     # ------------------------------------------------------------------
     def save_map(self, path: str):
         """System::SaveMap equivalent (markers included)."""
         from orb_slam2_aruco_tpu.io import checkpoint
 
-        checkpoint.save_map(path, self.map)
+        checkpoint.save_map(path, self.map, kf_ts64=self.kf_ts64)
 
     def load_map(self, path: str):
         """System::LoadMap equivalent: load a checkpoint and enter
@@ -844,6 +857,11 @@ class SlamSystem:
         from orb_slam2_aruco_tpu.io import checkpoint
 
         self.map = checkpoint.load_map(path)
+        ts64 = checkpoint.load_extras(path).get("kf_ts64")
+        if ts64 is not None and ts64.shape == self.kf_ts64.shape:
+            self.kf_ts64 = np.asarray(ts64, np.float64)
+        else:
+            self.kf_ts64 = np.asarray(self.map.kf_ts, np.float64).copy()
         self.n_keyframes = int(self.map.num_keyframes())
         self.state = TrackingState.LOST  # relocalize against the loaded map
         self.localization_only = True

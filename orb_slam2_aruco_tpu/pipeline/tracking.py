@@ -229,14 +229,20 @@ def track_frame(
     frame: Frame,
     slots,                  # [A] bound marker slots
     Rcw0, tcw0,             # pose seed (motion model or aruco candidate)
-    last_uv, last_desc, last_obs, last_valid, last_octave,
+    last_uv, last_desc, last_obs, last_valid, last_octave, last_angle,
     cam: Camera,
     cfg: SlamConfig,
     search_radius: float,
     old=None,
 ) -> TrackResult:
     """Project last frame's map points with the seed pose and window-match
-    (TrackWithMotionModel / TrackByAruco body)."""
+    (TrackWithMotionModel / TrackByAruco body). The rotation-consistency
+    histogram applies here exactly like the reference's frame<->last-frame
+    SearchByProjection (mbCheckOrientation, src/ORBmatcher.cc:1332+): both
+    sides are FRAMES with per-keypoint angles, so rolling/rotating motion
+    prunes the matches whose orientation offset disagrees with the dominant
+    bins. (The local-map search has no equivalent — map points carry no
+    orientation, matching the reference's map-point SearchByProjection.)"""
     pts, pvalid = _point_world_arrays(state, last_obs)
     pvalid = pvalid & last_valid
     p_cam = se3_apply(Rcw0[None], tcw0[None], pts)
@@ -250,6 +256,9 @@ def track_frame(
         octave_a=last_octave, octave_b=frame.kp_octave, max_octave_diff=1,
         max_dist=float(cfg.matcher.th_high),
         nn_ratio=cfg.matcher.nn_ratio_tracking,
+        angles_a=last_angle, angles_b=frame.kp_angle,
+        check_rotation=cfg.matcher.check_orientation,
+        histo_length=cfg.matcher.histo_length,
     )
     # scatter: current feature idx -> map point slot
     N = frame.kp_uv.shape[0]
@@ -476,7 +485,7 @@ def track_batch(
     imgs,                    # [B, H, W] frame chunk (uint8/float)
     R_last, t_last,          # pose of the frame before the chunk
     vel_R, vel_t, has_vel,   # motion model state
-    last_uv, last_desc, last_obs, last_valid, last_octave,
+    last_uv, last_desc, last_obs, last_valid, last_octave, last_angle,
     ref_kf,
     cam: Camera,
     cfg: SlamConfig,
@@ -494,14 +503,15 @@ def track_batch(
     frames = jax.vmap(lambda im: make_frame(im, cam, cfg))(imgs)
 
     def step(carry, frame):
-        (Rl, tl, vR, vt, hv, luv, ldesc, lobs, lval, loct, vis, found) = carry
+        (Rl, tl, vR, vt, hv, luv, ldesc, lobs, lval, loct, lang, vis,
+         found) = carry
         st = state._replace(pt_visible=vis, pt_found=found)
         Rp, tp = se3_compose(vR, vt, Rl, tl)
         R_pred = jnp.where(hv, Rp, Rl)
         t_pred = jnp.where(hv, tp, tl)
         out = track_full(
             st, frame, R_pred, t_pred, Rl, tl,
-            luv, ldesc, lobs, lval, loct, ref_kf, cam, cfg,
+            luv, ldesc, lobs, lval, loct, lang, ref_kf, cam, cfg,
         )
         ok = out.n_inliers >= cfg.tracking.min_matches_local_map
         Rl_inv, tl_inv = se3_inverse(Rl, tl)
@@ -509,13 +519,13 @@ def track_batch(
         carry2 = (
             out.Rcw, out.tcw, vR2, vt2, ok,
             frame.kp_uv, frame.desc, out.obs_point, frame.kp_valid,
-            frame.kp_octave, out.pt_visible, out.pt_found,
+            frame.kp_octave, frame.kp_angle, out.pt_visible, out.pt_found,
         )
         return carry2, out.ctrl
 
     carry0 = (
         R_last, t_last, vel_R, vel_t, has_vel,
-        last_uv, last_desc, last_obs, last_valid, last_octave,
+        last_uv, last_desc, last_obs, last_valid, last_octave, last_angle,
         state.pt_visible, state.pt_found,
     )
     carry, ctrls = jax.lax.scan(step, carry0, frames)
@@ -528,7 +538,7 @@ def track_full(
     frame: Frame,
     R_pred, t_pred,          # motion-model seed
     R_last, t_last,          # last pose (fallback seed)
-    last_uv, last_desc, last_obs, last_valid, last_octave,
+    last_uv, last_desc, last_obs, last_valid, last_octave, last_angle,
     ref_kf,
     cam: Camera,
     cfg: SlamConfig,
@@ -546,7 +556,7 @@ def track_full(
 
     tr1 = track_frame(
         state, frame, slots, R0, t0,
-        last_uv, last_desc, last_obs, last_valid, last_octave,
+        last_uv, last_desc, last_obs, last_valid, last_octave, last_angle,
         cam, cfg, search_radius=cfg.matcher.search_radius_motion, old=old,
     )
 
@@ -559,7 +569,7 @@ def track_full(
     def wide_branch(_):
         return track_frame(
             state, frame, slots, R0, t0,
-            last_uv, last_desc, last_obs, last_valid, last_octave,
+            last_uv, last_desc, last_obs, last_valid, last_octave, last_angle,
             cam, cfg, search_radius=2.0 * cfg.matcher.search_radius_motion,
             old=old,
         )

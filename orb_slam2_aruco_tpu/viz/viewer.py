@@ -19,9 +19,11 @@ snapshot under a lock), and any browser pointed at the port gets
   * the FrameDrawer status bar (state, KFs, MPs, markers, matches —
     FrameDrawer::DrawTextInfo, FrameDrawer.cc:172-206).
 
-Rendering happens client-side (JS perspective projection); the server only
-serializes a bounded snapshot, so attaching the viewer adds microseconds —
-not a device sync — to the tracking loop.
+Rendering happens client-side (JS perspective projection). Publishing a map
+snapshot DOES transfer the map state to the host and run a BLAS covisibility
+matmul, so ``update`` recomputes it only every ``snapshot_every`` calls —
+feed frames at a decimated rate (or raise snapshot_every) on the TPU hot
+path; the camera pose and frame image alone are cheap.
 """
 
 from __future__ import annotations
@@ -70,9 +72,15 @@ def snapshot_map(
     if len(pts) > max_points:
         pts = pts[:: len(pts) // max_points + 1]
 
-    # covisibility edges over valid keyframes
-    B = np.asarray(state.pt_obs_kf)[np.ix_(pt_valid, kf_idx)].astype(np.int32)
-    W = B.T @ B if B.size else np.zeros((len(kf_idx), len(kf_idx)), np.int32)
+    # covisibility edges over valid keyframes. float32 so the matmul takes
+    # the BLAS path — an integer matmul on a full [20000, 256] incidence is
+    # ~1e9 scalar MACs of pure-numpy loop time
+    B = np.asarray(state.pt_obs_kf)[np.ix_(pt_valid, kf_idx)].astype(np.float32)
+    W = (
+        (B.T @ B).astype(np.int32)
+        if B.size
+        else np.zeros((len(kf_idx), len(kf_idx)), np.int32)
+    )
     np.fill_diagonal(W, 0)
     ii, jj = np.nonzero(np.triu(W, 1) >= covis_min_weight)
     if len(ii) > max_edges:
@@ -237,6 +245,16 @@ class MapViewer:
                 if self.path != "/control":
                     self._reply(404, "text/plain", b"not found")
                     return
+                # reject cross-origin requests: /control mutates the live
+                # system (reset, localization mode), and a POST with JSON
+                # text body is a CORS 'simple request' any webpage could
+                # send at localhost — require the Origin (when present) to
+                # match our own Host
+                origin = self.headers.get("Origin")
+                host = self.headers.get("Host")
+                if origin is not None and origin.split("://")[-1] != host:
+                    self._reply(403, "text/plain", b"cross-origin rejected")
+                    return
                 n = int(self.headers.get("Content-Length", 0))
                 try:
                     msg = json.loads(self.rfile.read(n) or b"{}")
@@ -296,7 +314,7 @@ class MapViewer:
         }
 
         cam = None
-        if cam_Rcw is not None:
+        if cam_Rcw is not None and cam_tcw is not None:
             Rwc = np.asarray(cam_Rcw).T
             c = -Rwc @ np.asarray(cam_tcw)
             cam = {"c": np.round(c, 4).tolist(),

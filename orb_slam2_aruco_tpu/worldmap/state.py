@@ -28,7 +28,14 @@ class MapState(NamedTuple):
     kf_tcw: jnp.ndarray        # [K, 3]
     kf_valid: jnp.ndarray      # [K] bool
     kf_frame_id: jnp.ndarray   # [K] int32 source frame index
-    kf_ts: jnp.ndarray         # [K] float64-as-float32 timestamp
+    kf_ts: jnp.ndarray         # [K] float32 timestamp (coarse; the authoritative
+                               # float64 stamps live host-side in
+                               # SlamSystem.kf_ts64 and in the checkpoint —
+                               # epoch-scale stamps lose ~100 s in f32)
+    kf_seq: jnp.ndarray        # [K] int32 monotone insertion sequence number
+                               # (-1 = empty). Unlike the slot index this
+                               # keeps ordering semantics when slots are
+                               # recycled by keyframe culling.
     # per-keyframe features (immutable after insertion, like the reference)
     kf_kp_uv: jnp.ndarray      # [K, N, 2] undistorted pixels
     kf_kp_octave: jnp.ndarray  # [K, N] int32
@@ -46,7 +53,10 @@ class MapState(NamedTuple):
     pt_ref_kf: jnp.ndarray     # [L] int32 anchor keyframe slot
     pt_found: jnp.ndarray      # [L] float32 'found' counter
     pt_visible: jnp.ndarray    # [L] float32 'visible' counter
-    pt_first_kf: jnp.ndarray   # [L] int32 (for culling age)
+    pt_first_kf: jnp.ndarray   # [L] int32 creating keyframe's INSERTION SEQ
+                               # (kf_seq value, not the slot: culling age and
+                               # fusion ordering stay correct when keyframe
+                               # slots are recycled)
     pt_obs_kf: jnp.ndarray     # [L, K] bool point<->keyframe incidence
                                # (which KFs observe each point; lets the
                                # covisibility-local map be two matmuls
@@ -74,6 +84,7 @@ class MapState(NamedTuple):
     # --- scalars ---------------------------------------------------------
     scale_done: jnp.ndarray    # [] bool — one-shot metric scale correction done
     big_change_idx: jnp.ndarray  # [] int32 (Map::InformNewBigChange)
+    next_seq: jnp.ndarray      # [] int32 — next keyframe insertion sequence
 
     @property
     def K(self):
@@ -113,6 +124,7 @@ def empty_map(cfg: SlamConfig, num_words: int = None) -> MapState:
         kf_valid=jnp.zeros((K,), bool),
         kf_frame_id=jnp.full((K,), -1, jnp.int32),
         kf_ts=jnp.zeros((K,), f32),
+        kf_seq=jnp.full((K,), -1, jnp.int32),
         kf_kp_uv=jnp.zeros((K, N, 2), f32),
         kf_kp_octave=jnp.zeros((K, N), jnp.int32),
         kf_kp_angle=jnp.zeros((K, N), f32),
@@ -146,6 +158,7 @@ def empty_map(cfg: SlamConfig, num_words: int = None) -> MapState:
         kf_bow=jnp.zeros((K, W), f32),
         scale_done=jnp.asarray(False),
         big_change_idx=jnp.asarray(0, jnp.int32),
+        next_seq=jnp.asarray(0, jnp.int32),
     )
 
 

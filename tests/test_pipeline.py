@@ -244,7 +244,7 @@ def test_full_system_loop_closure():
     # the correction cannot restore mid-chain ground truth — but the first
     # and last keyframes both sit in the marker-anchored region and their
     # RELATIVE pose must be right after correction.
-    fids, Rs, ts_ = slam.keyframe_trajectory()
+    fids, _tss, Rs, ts_ = slam.keyframe_trajectory()
     est_c = trajectory.camera_centers(Rs, ts_)
     assert np.all(np.isfinite(est_c))
     # relative translation first keyframe -> last keyframe, expressed in the

@@ -99,7 +99,7 @@ bench("pose_opt 4x10", scan8(b_pose), jnp.float32(0))
 def b_tf(c):
     r = tracking.track_frame(st, frame, slots, Rl, tl + c * 0,
                              lf.kp_uv, lf.desc, lobs, lf.kp_valid,
-                             lf.kp_octave, cam, cfg,
+                             lf.kp_octave, lf.kp_angle, cam, cfg,
                              search_radius=cfg.matcher.search_radius_motion)
     return c + r.tcw[0]
 bench("track_frame", scan8(b_tf), jnp.float32(0))
@@ -115,6 +115,6 @@ bench("track_local_map", scan8(b_tlm), jnp.float32(0))
 def b_full(c):
     out = tracking.track_full(st, frame, Rl, tl + c * 0, Rl, tl,
                               lf.kp_uv, lf.desc, lobs, lf.kp_valid,
-                              lf.kp_octave, jnp.asarray(slam.ref_kf), cam, cfg)
+                              lf.kp_octave, lf.kp_angle, jnp.asarray(slam.ref_kf), cam, cfg)
     return c + out.ctrl[0]
 bench("track_full cascade", scan8(b_full), jnp.float32(0))

@@ -60,11 +60,11 @@ Rl, tl = slam.last_pose
 lf = slam.last_frame
 
 tf = jax.jit(tracking.track_full, static_argnames=("cfg",))
-o = tracking.track_full(st, f0, Rl, tl, Rl, tl, lf.kp_uv, lf.desc, slam.last_obs, lf.kp_valid, lf.kp_octave, jnp.asarray(slam.ref_kf), cam, cfg)
+o = tracking.track_full(st, f0, Rl, tl, Rl, tl, lf.kp_uv, lf.desc, slam.last_obs, lf.kp_valid, lf.kp_octave, lf.kp_angle, jnp.asarray(slam.ref_kf), cam, cfg)
 jax.block_until_ready(o)
 t0 = time.perf_counter()
 for k in range(8):
-    o = tracking.track_full(st, f0, Rl, tl, Rl, tl, lf.kp_uv, lf.desc, slam.last_obs, lf.kp_valid, lf.kp_octave, jnp.asarray(slam.ref_kf), cam, cfg)
+    o = tracking.track_full(st, f0, Rl, tl, Rl, tl, lf.kp_uv, lf.desc, slam.last_obs, lf.kp_valid, lf.kp_octave, lf.kp_angle, jnp.asarray(slam.ref_kf), cam, cfg)
     jax.block_until_ready(o)
 dt = time.perf_counter() - t0
 print("track_full(pre-made frame) per-frame: %.1f ms" % (1000 * dt / 8))

@@ -181,7 +181,7 @@ def s_track_full(img):
     frame = make_frame(img, cam, cfg)
     out = tracking.track_full(
         st, frame, Rl, tl, Rl, tl,
-        lf.kp_uv, lf.desc, lobs, lf.kp_valid, lf.kp_octave,
+        lf.kp_uv, lf.desc, lobs, lf.kp_valid, lf.kp_octave, lf.kp_angle,
         jnp.asarray(slam.ref_kf), cam, cfg)
     return out.ctrl
 
