@@ -80,3 +80,20 @@ def test_frame_timer_report():
     assert h["counts"].sum() == 5
     assert "fps" in r and r["fps"] > 0
     assert "median" in str(t)
+
+
+def test_tum_roundtrip_epoch_stamps(tmp_path, rng):
+    """Epoch-scale (float64) timestamps must survive TUM export/import at
+    full precision: the reference's stem/1e6 LoadImages convention can
+    produce epoch seconds, which lose ~100 s when squeezed through float32
+    (round-2 VERDICT item 9)."""
+    n = 6
+    base = 1.771_843_200_123_456e9
+    stamps = base + np.arange(n) / 30.0
+    Rs = [np.eye(3, dtype=np.float32) for _ in range(n)]
+    ts_ = [rng.normal(size=3).astype(np.float32) for _ in range(n)]
+    path = os.path.join(tmp_path, "epoch.tum")
+    trajectory.save_tum(path, stamps, Rs, ts_)
+    got, _, _ = trajectory.load_tum(path)
+    # float32 would be ~100 s off; the export must stay at micro-second level
+    assert np.max(np.abs(got - stamps)) < 5e-6
