@@ -164,11 +164,15 @@ class MapConfig:
     max_points: int = 20000
     max_markers: int = 64
     max_obs_per_point: int = 24       # per-point observation slots
-    triangulation_neighbors: int = 8  # top-N covisible KFs searched for new
-                                      # points (reference top-20,
-                                      # LocalMapping.cc:222-229; 8 keeps the
-                                      # fused insert program small — raise for
-                                      # wide-baseline rigs)
+    triangulation_neighbors: int = 20  # top-N covisible KFs searched for new
+                                       # points (reference top-20 for mono,
+                                       # LocalMapping.cc:222-229); searched in
+                                       # ONE batched pass (vmap over neighbors)
+    local_ba_window: int = 8          # window cameras in local BA
+    local_ba_fixed_ring: int = 8      # fixed observer-ring capacity: out-of-
+                                      # window KFs observing window points
+                                      # enter local BA as FIXED vertices
+                                      # (Optimizer.cc:820-838)
     covis_edge_min: int = 15          # covisibility edge threshold (KeyFrame.cc:386)
     cull_found_ratio: float = 0.25    # MapPointCulling (LocalMapping.cc:185)
     kf_cull_redundancy: float = 0.9   # KeyFrameCulling 90% rule

@@ -323,6 +323,96 @@ def _triangulate_pair(
     return state, jnp.sum(can.astype(jnp.int32))
 
 
+def _tri_candidates(state: MapState, kf_new, nb, cam: Camera,
+                    cfg: SlamConfig, enable):
+    """Per-neighbor triangulation candidates (the match + DLT + gate half of
+    the reference's CreateNewMapPoints, src/LocalMapping.cc:222-467) WITHOUT
+    any state writes, so a vmap over neighbors evaluates every covisible
+    pair in one wide batch. Returns (good [N], xyz [N, 3], prev_idx [N],
+    cos_parallax [N]) indexed by the new keyframe's features."""
+    N = state.kf_kp_uv.shape[1]
+    d_new = state.kf_desc[kf_new]
+    d_prev = state.kf_desc[nb]
+    free_new = state.kf_kp_valid[kf_new] & (state.kf_obs_point[kf_new] < 0)
+    free_prev = state.kf_kp_valid[nb] & (state.kf_obs_point[nb] < 0)
+    dist = matching.distance_matrix(d_new, d_prev, free_new, free_prev)
+    R1 = state.kf_Rcw[nb]
+    t1 = state.kf_tcw[nb]
+    R2 = state.kf_Rcw[kf_new]
+    t2 = state.kf_tcw[kf_new]
+    # epipolar gate BEFORE nearest-neighbor selection (the reference's
+    # CheckDistEpipolarLine inside SearchForTriangulation,
+    # src/ORBmatcher.cc:140-157 and :661): repetitive texture makes pure
+    # descriptor-NN matching ambiguous; the epipolar constraint resolves it
+    R21, t21 = se3_compose(R2, t2, *se3_inverse(R1, t1))
+    tx, ty, tz = t21[0], t21[1], t21[2]
+    zero = jnp.zeros(())
+    skew = jnp.stack([
+        jnp.stack([zero, -tz, ty]),
+        jnp.stack([tz, zero, -tx]),
+        jnp.stack([-ty, tx, zero]),
+    ])
+    E = skew @ R21                                               # [t]x R
+    Kinv = jnp.asarray([
+        [1.0 / cam.fx, 0.0, -cam.cx / cam.fx],
+        [0.0, 1.0 / cam.fy, -cam.cy / cam.fy],
+        [0.0, 0.0, 1.0],
+    ], dtype=jnp.float32)
+    F = Kinv.T @ E @ Kinv
+    uv1_all = state.kf_kp_uv[nb]
+    uv2_all = state.kf_kp_uv[kf_new]
+    p1h = jnp.concatenate([uv1_all, jnp.ones((N, 1))], axis=1)   # [N, 3]
+    p2h = jnp.concatenate([uv2_all, jnp.ones((N, 1))], axis=1)
+    lines = p1h @ F.T                                            # [N_prev, 3]
+    num = jnp.abs(p2h @ lines.T)                                 # [new, prev]
+    den = jnp.sqrt(lines[:, 0] ** 2 + lines[:, 1] ** 2)[None, :]
+    epi_d2 = (num / jnp.maximum(den, 1e-9)) ** 2
+    sig2 = scale_sigma2(cfg.orb.num_levels, cfg.orb.scale_factor)
+    epi_ok = epi_d2 * sig2[state.kf_kp_octave[kf_new]][:, None] < 3.84
+    dist = jnp.where(epi_ok, dist, jnp.inf)
+    m = matching.nn_match(
+        dist, max_dist=float(cfg.matcher.th_low),
+        nn_ratio=0.8, mutual=True,
+    )
+    uv_new = uv2_all
+    uv_prev = uv1_all[jnp.maximum(m.idx, 0)]
+    xn2 = cam_mod.pixels_to_normalized(cam, uv_new)
+    xn1 = cam_mod.pixels_to_normalized(cam, uv_prev)
+    Nb = xn1.shape[0]
+    xyz = triangulate_dlt(
+        jnp.broadcast_to(R1, (Nb, 3, 3)), jnp.broadcast_to(t1, (Nb, 3)),
+        jnp.broadcast_to(R2, (Nb, 3, 3)), jnp.broadcast_to(t2, (Nb, 3)),
+        xn1, xn2,
+    )
+    z1 = se3_apply(R1[None], t1[None], xyz)[..., 2]
+    p2 = se3_apply(R2[None], t2[None], xyz)
+    z2 = p2[..., 2]
+    uv1_re = cam_mod.project(cam, se3_apply(R1[None], t1[None], xyz))
+    uv2_re = cam_mod.project(cam, p2)
+    e1 = jnp.sum((uv1_re - uv_prev) ** 2, axis=-1)
+    e2 = jnp.sum((uv2_re - uv_new) ** 2, axis=-1)
+    s2_new = sig2[state.kf_kp_octave[kf_new]]
+    # parallax: rays from the two camera centers
+    _, c1 = se3_inverse(R1, t1)
+    _, c2 = se3_inverse(R2, t2)
+    r1 = xyz - c1[None]
+    r2v = xyz - c2[None]
+    cosp = jnp.sum(r1 * r2v, axis=-1) / jnp.maximum(
+        jnp.linalg.norm(r1, axis=-1) * jnp.linalg.norm(r2v, axis=-1), 1e-9
+    )
+    good = (
+        m.valid
+        & enable
+        & jnp.all(jnp.isfinite(xyz), axis=-1)
+        & (z1 > 0.02)
+        & (z2 > 0.02)
+        & (e1 * s2_new < 5.991)
+        & (e2 * s2_new < 5.991)
+        & (cosp < 0.9999)
+    )
+    return good, xyz, jnp.maximum(m.idx, 0), cosp
+
+
 @functools.partial(
     jax.jit, static_argnames=("cfg", "n_neighbors", "max_new")
 )
@@ -331,15 +421,22 @@ def triangulate_vs_covisible(
     kf_new,
     cam: Camera,
     cfg: SlamConfig,
-    n_neighbors: int = 8,
+    n_neighbors: int = 20,
     max_new: int = 256,
 ):
     """Triangulate the new keyframe against its top-N covisible neighbors in
     ONE device program (reference CreateNewMapPoints takes the top-20
-    covisible keyframes, src/LocalMapping.cc:222-229, and skips neighbors
-    whose baseline is < 1% of their scene depth, :248-260 — the reference
-    uses the median scene depth; the mean is used here as a cheap,
+    covisible keyframes for mono, src/LocalMapping.cc:222-229, and skips
+    neighbors whose baseline is < 1% of their scene depth, :248-260 — the
+    reference uses the median scene depth; the mean is used here as a cheap,
     jit-friendly proxy).
+
+    TPU-shape: every neighbor pair's match + DLT + gates run as one vmapped
+    batch (no sequential per-pair passes); each free feature of the new
+    keyframe then picks its best-parallax surviving candidate and a single
+    allocation pass creates the points. Unlike the reference's sequential
+    pair loop this also dedups a feature matched in several neighbors at
+    creation time instead of relying on later fusion.
 
     Returns (state, n_created_total)."""
     # covisibility ranking: shared valid map points with every keyframe
@@ -350,6 +447,7 @@ def triangulate_vs_covisible(
         preferred_element_type=jnp.float32,
     )                                                            # [K]
     K = state.K
+    N = state.kf_kp_uv.shape[1]
     kiota = jnp.arange(K, dtype=jnp.int32)
     share = jnp.where((kiota == kf_new) | ~state.kf_valid, 0.0, share)
     # baseline / scene-depth gate per neighbor
@@ -366,17 +464,107 @@ def triangulate_vs_covisible(
     mean_depth = depth_sum / depth_cnt
     ratio_ok = baseline / jnp.maximum(mean_depth, 1e-6) > 0.01
     share = jnp.where(ratio_ok, share, 0.0)
-    top_w, top_idx = jax.lax.top_k(share, n_neighbors)
+    top_w, top_idx = jax.lax.top_k(share, min(n_neighbors, K))
 
-    def body(i, carry):
-        st, total = carry
-        nb = top_idx[i]
-        ok = top_w[i] > 0
-        st, n = _triangulate_pair(st, kf_new, nb, cam, cfg, max_new,
-                                  enable=ok)
-        return st, total + n
+    good_n, xyz_n, prev_n, cosp_n = jax.vmap(
+        lambda nb, en: _tri_candidates(state, kf_new, nb, cam, cfg, en)
+    )(top_idx, top_w > 0)            # [n, N], [n, N, 3], [n, N], [n, N]
 
-    return jax.lax.fori_loop(0, n_neighbors, body, (state, jnp.int32(0)))
+    # each new-KF feature picks its best-parallax surviving candidate
+    score = jnp.where(good_n, -cosp_n, -jnp.inf)                 # [n, N]
+    choice = jnp.argmax(score, axis=0)                           # [N]
+    good = jnp.any(good_n, axis=0)                               # [N]
+    take = lambda arr: jnp.take_along_axis(arr, choice[None], axis=0)[0]
+    xyz = jnp.take_along_axis(
+        xyz_n, choice[None, :, None].repeat(3, axis=-1), axis=0
+    )[0]                                                         # [N, 3]
+    prev_idx = take(prev_n)                                      # [N]
+    nb_slot = top_idx[choice]                                    # [N]
+
+    return _allocate_points(
+        state, kf_new, nb_slot, prev_idx, good, xyz, cam, cfg, max_new
+    )
+
+
+def _allocate_points(state: MapState, kf_new, nb_slot, prev_idx, good, xyz,
+                     cam: Camera, cfg: SlamConfig, max_new: int):
+    """Single allocation pass for chosen triangulation candidates: slot
+    assignment, stale-reference scrub, point attributes, observation rows
+    (the state-write half of the reference's CreateNewMapPoints)."""
+    N = good.shape[0]
+    K = state.K
+    rank = jnp.cumsum(good.astype(jnp.int32)) - 1
+    slots_free = free_slots(state.pt_valid, max_new)
+    can = good & (rank < max_new)
+    pslot = slots_free[jnp.clip(rank, 0, max_new - 1)]
+    can = can & ~state.pt_valid[pslot]
+    tgt = jnp.where(can, pslot, state.L)
+    # recycling safety net: clear any stale feature->point reference to the
+    # slots being (re-)allocated, across ALL keyframes (cull_points scrubs
+    # at invalidation time; this covers references invalidated since)
+    recycled = jnp.zeros((state.L,), bool).at[tgt].set(can, mode="drop")
+    obs_all = state.kf_obs_point
+    stale_all = (obs_all >= 0) & recycled[jnp.maximum(obs_all, 0)]
+    state = state._replace(kf_obs_point=jnp.where(stale_all, -1, obs_all))
+
+    # point attributes (anchored at the new keyframe's view)
+    _, c2 = se3_inverse(state.kf_Rcw[kf_new], state.kf_tcw[kf_new])
+    view = xyz - c2[None]
+    vdist = jnp.linalg.norm(view, axis=-1)
+    normal = view / jnp.maximum(vdist[..., None], 1e-9)
+    sf = _scale_factors(cfg)
+    lvl = state.kf_kp_octave[kf_new]
+    max_d = vdist * sf[lvl]
+    min_d = max_d / sf[-1]
+    d_new = state.kf_desc[kf_new]
+
+    def scat(arr, vals):
+        pad = jnp.zeros((1,) + arr.shape[1:], arr.dtype)
+        return jnp.concatenate([arr, pad]).at[tgt].set(vals)[: state.L]
+
+    state = state._replace(
+        pt_xyz=scat(state.pt_xyz, xyz),
+        pt_valid=scat(state.pt_valid, can),
+        pt_desc=scat(state.pt_desc, d_new),
+        pt_normal=scat(state.pt_normal, normal),
+        pt_min_dist=scat(state.pt_min_dist, min_d),
+        pt_max_dist=scat(state.pt_max_dist, max_d),
+        pt_ref_kf=scat(state.pt_ref_kf, jnp.full((N,), 1, jnp.int32) * kf_new),
+        # creation stamp = the creating keyframe's INSERTION SEQUENCE (see
+        # cull_points / fuse_duplicates ordering under slot recycling)
+        pt_first_kf=scat(
+            state.pt_first_kf,
+            jnp.broadcast_to(state.kf_seq[kf_new], (N,)).astype(jnp.int32),
+        ),
+        pt_found=scat(state.pt_found, jnp.ones((N,))),
+        pt_visible=scat(state.pt_visible, jnp.ones((N,))),
+    )
+    # observations: the new keyframe's feature row...
+    obs_new = jnp.where(can, pslot, state.kf_obs_point[kf_new])
+    state = state._replace(
+        kf_obs_point=state.kf_obs_point.at[kf_new].set(obs_new)
+    )
+    # ...and each chosen neighbor's matched feature (flat 2-D scatter over
+    # [neighbor slot, neighbor feature]; rows differ per candidate)
+    nb_safe = jnp.where(can, nb_slot, K)
+    state = state._replace(
+        kf_obs_point=jnp.concatenate(
+            [state.kf_obs_point, jnp.zeros((1, N), jnp.int32)]
+        ).at[nb_safe, prev_idx].max(
+            jnp.where(can, pslot, -1), mode="drop"
+        )[:K]
+    )
+    # incidence rows for the new slots: observed by {kf_new, neighbor}; the
+    # row overwrite also clears stale bits left by a culled previous occupant
+    kiota = jnp.arange(K, dtype=jnp.int32)
+    inc_rows = (kiota[None, :] == kf_new) | (
+        kiota[None, :] == nb_slot[:, None]
+    )                                                            # [N, K]
+    pt_obs_kf = jnp.concatenate(
+        [state.pt_obs_kf, jnp.zeros((1, K), bool)]
+    ).at[tgt].set(inc_rows)[: state.L]
+    state = state._replace(pt_obs_kf=pt_obs_kf)
+    return state, jnp.sum(can.astype(jnp.int32))
 
 
 # ---------------------------------------------------------------------------
@@ -425,7 +613,8 @@ def cull_points(state: MapState, min_found_ratio: float = 0.25):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "max_cams", "max_pts", "window_all")
+    jax.jit,
+    static_argnames=("cfg", "max_cams", "max_pts", "window_all", "max_fixed"),
 )
 def build_ba_problem(
     state: MapState,
@@ -434,12 +623,19 @@ def build_ba_problem(
     max_cams: int = 16,
     max_pts: int = 4096,
     window_all: bool = False,
+    max_fixed: int = 0,
 ):
     """Window selection + edge-list construction for bundle adjustment
     (the problem-building half of LocalBundleAdjustment/GlobalBA). Returns
     (prob, sel, sel_ok, pt_sel, pt_ok) so the solve can run locally
     (optim.ba.ba_solve) or sharded over a device mesh
-    (parallel.dist_ba.distributed_ba_solve)."""
+    (parallel.dist_ba.distributed_ba_solve).
+
+    `max_fixed` (local BA only): capacity of the FIXED OBSERVER RING —
+    keyframes outside the window that observe window points join as fixed
+    vertices with their observations as edges (reference Optimizer.cc:
+    820-838), anchoring shared points so repeated window BAs cannot walk
+    them away from their out-of-window observers."""
     K, N = state.kf_obs_point.shape
     A = state.kf_mk_slot.shape[1]
     M = state.M
@@ -485,6 +681,34 @@ def build_ba_problem(
     ).reshape(-1)
     pt_hit = jnp.zeros((state.L + 1,), bool).at[obs_flat].set(True)[: state.L]
     pt_hit = pt_hit & state.pt_valid
+
+    if max_fixed > 0 and not window_all:
+        # ---- fixed observer ring (Optimizer.cc:820-838) -----------------
+        # keyframes observing any window point but not in the window join
+        # as FIXED cameras; their observations of window points become
+        # edges (the generic edge builder below masks their non-window
+        # observations via the point compaction)
+        inc = state.pt_obs_kf & state.kf_valid[None, :]          # [L, K]
+        ring_share = jnp.dot(
+            pt_hit.astype(jnp.float32), inc.astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+        )                                                        # [K]
+        in_window = jnp.zeros((K,), bool).at[
+            jnp.where(sel_ok, sel, K - 1)
+        ].max(sel_ok)
+        ring_share = jnp.where(
+            in_window | ~state.kf_valid, 0.0, ring_share
+        )
+        ring_val, ring_sel = jax.lax.top_k(ring_share, max_fixed)
+        ring_ok = ring_val > 0
+        sel = jnp.concatenate([sel, ring_sel])
+        sel_ok = jnp.concatenate([sel_ok, ring_ok])
+        cam_free = jnp.concatenate(
+            [cam_free, jnp.zeros((max_fixed,), jnp.float32)]
+        )
+        max_cams = max_cams + max_fixed
+        obs_sel = state.kf_obs_point[sel]
+
     hit_val, pt_sel = jax.lax.top_k(pt_hit.astype(jnp.int32), max_pts)
     pt_ok = hit_val > 0
     # compact index: L -> [0, max_pts)
@@ -599,7 +823,10 @@ def writeback_ba(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "max_cams", "max_pts", "iters", "window_all")
+    jax.jit,
+    static_argnames=(
+        "cfg", "max_cams", "max_pts", "iters", "window_all", "max_fixed"
+    ),
 )
 def bundle_adjust(
     state: MapState,
@@ -610,17 +837,20 @@ def bundle_adjust(
     max_pts: int = 4096,
     iters: int = 10,
     window_all: bool = False,
+    max_fixed: int = 0,
 ):
     """Windowed BA over the newest `max_cams` keyframes (LocalBundleAdjustment,
     reference src/Optimizer.cc:772-1242) or all keyframes (global BA) when
     window_all. The oldest selected camera (and the map's first keyframe) are
-    held fixed as gauge anchors; all valid markers participate with corner
+    held fixed as gauge anchors; out-of-window keyframes observing window
+    points join as a FIXED observer ring of up to `max_fixed` cameras
+    (Optimizer.cc:820-838); all valid markers participate with corner
     edges at weight 25. Small windows solve the reduced camera system
     densely; large ones use the matrix-free PCG path (optim.ba.ba_solve
     solver='auto')."""
     prob, sel, sel_ok, pt_sel, pt_ok = build_ba_problem(
         state, center_kf, cfg, max_cams=max_cams, max_pts=max_pts,
-        window_all=window_all,
+        window_all=window_all, max_fixed=max_fixed,
     )
     out = ba.ba_solve(
         prob, cam, iters=iters,

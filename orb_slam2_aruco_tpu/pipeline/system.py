@@ -572,8 +572,9 @@ class SlamSystem:
         if self.n_keyframes > 2:
             self.map, chi2 = mapping.bundle_adjust(
                 self.map, jnp.asarray(int(k)), self.cam, cfg,
-                max_cams=8, max_pts=2048,
+                max_cams=cfg.map.local_ba_window, max_pts=2048,
                 iters=cfg.optim.local_ba_iters_second,
+                max_fixed=cfg.map.local_ba_fixed_ring,
             )
             self.stats["ba_runs"] += 1
             # keyframe culling (90% redundancy rule, marker protection)
