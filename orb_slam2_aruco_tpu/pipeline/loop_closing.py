@@ -364,14 +364,29 @@ def correct_loop(
     pt_xyz = jnp.where(in_group[:, None], X_new, state.pt_xyz)
 
     # ---- essential graph edges -------------------------------------------
-    # (a) insertion-order chain (spanning-tree stand-in)
-    order = jnp.argsort(
-        jnp.where(state.kf_valid, state.kf_frame_id, jnp.int32(2**30))
+    # (a) covisibility SPANNING TREE (reference Optimizer.cc:1386-1420;
+    # parent = best covisible among earlier keyframes, KeyFrame.cc:441-475).
+    # An insertion-order chain is the wrong topology on revisits: temporally
+    # adjacent but spatially distant keyframes would inject drifted relative
+    # measurements as constraints. Keyframes with no earlier covisible
+    # (disconnected segments, e.g. after relocalization) fall back to their
+    # temporal predecessor so the graph stays connected.
+    from orb_slam2_aruco_tpu.worldmap.covisibility import spanning_parent
+
+    order_key = jnp.where(state.kf_valid, state.kf_seq, jnp.int32(2**30))
+    parent = spanning_parent(W, state.kf_valid, order_key)        # [K]
+    # temporal predecessor by insertion sequence (for parentless keyframes)
+    earlier = (
+        (order_key[None, :] < order_key[:, None]) & state.kf_valid[None, :]
     )
-    nvalid = jnp.sum(state.kf_valid.astype(jnp.int32))
-    chain_i = order[1:]
-    chain_j = order[:-1]
-    chain_mask = (jnp.arange(K - 1) + 1) < nvalid
+    pred_key = jnp.where(earlier, order_key[None, :], -1)
+    pred = jnp.argmax(pred_key, axis=1).astype(jnp.int32)
+    has_pred = jnp.max(pred_key, axis=1) >= 0
+    chain_i = jnp.arange(K, dtype=jnp.int32)
+    chain_j = jnp.where(parent >= 0, parent, pred)
+    chain_mask = state.kf_valid & (parent >= 0) | (
+        state.kf_valid & has_pred
+    )
     # (b) strong covisibility edges: top-C per KF with weight >= threshold
     wv, wi = jax.lax.top_k(
         jnp.where(jnp.eye(K, dtype=bool), 0, W), max_covis_edges

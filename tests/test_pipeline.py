@@ -217,24 +217,19 @@ def test_full_system_loop_closure():
     # accumulates into real odometry drift, so the revisit re-observes the
     # old markers from a NON-covisible keyframe — the actual condition for a
     # loop. (A noise-free synthetic run simply re-tracks the same points on
-    # the way back: one covisible chain, correctly NO loop.) Whether one
-    # specific noise realization drifts ENOUGH is knife-edge — a 1-ulp
-    # numeric change anywhere in the engine flips it — so several seeds are
-    # tried and the loop must close for at least one.
-    slam = None
-    for seed in (7, 11, 3, 23):
-        noisy = [img.copy() for img in imgs]
-        rng = np.random.default_rng(seed)
-        for j in range(12, 48):
-            noisy[j] = np.clip(
-                noisy[j] + rng.normal(0, 12, noisy[j].shape), 0, 255
-            )
-        slam = SlamSystem(cfg)
-        for i, img in enumerate(noisy):
-            slam.track_monocular(img, ts=i / 30.0)
-        if (slam.state is TrackingState.OK
-                and slam.stats["loops_closed"] >= 1):
-            break
+    # the way back: one covisible chain, correctly NO loop.) One fixed seed,
+    # no retry: with the covisibility spanning tree in the essential graph
+    # the corrected residual is an order of magnitude under the gate, so the
+    # assertion no longer sits on a knife edge.
+    noisy = [img.copy() for img in imgs]
+    rng = np.random.default_rng(7)
+    for j in range(12, 48):
+        noisy[j] = np.clip(
+            noisy[j] + rng.normal(0, 12, noisy[j].shape), 0, 255
+        )
+    slam = SlamSystem(cfg)
+    for i, img in enumerate(noisy):
+        slam.track_monocular(img, ts=i / 30.0)
     assert slam.state is TrackingState.OK
     # the revisit must produce a loop closure (marker ids from the start are
     # re-observed by a non-covisible late keyframe)
@@ -254,11 +249,11 @@ def test_full_system_loop_closure():
                                      [poses[i][1] for i in fids])
     rel_gt = poses[fids[0]][0] @ (gt_c[-1] - gt_c[0])
     err = np.linalg.norm(rel_est - rel_gt)
-    # measured progression this round: 0.91 (no post-loop fusion) -> 0.72
-    # (SearchAndFuse) -> 0.63 (iterated fuse+GBA). The remaining residual is
-    # the scale-drifted middle chain resisting the global BA — tightening
-    # this to <0.25 is tracked round-2 work (re-track corrected keyframes).
-    assert err < 1.0, (err, rel_est, rel_gt)
+    # measured progression: 0.91 (no post-loop fusion) -> 0.72 (SearchAnd-
+    # Fuse) -> 0.63 (iterated fuse+GBA, insertion-order chain) -> 0.03-0.05
+    # (covisibility SPANNING TREE in the essential graph: chain edges no
+    # longer inject drifted temporally-adjacent measurements on revisits)
+    assert err < 0.25, (err, rel_est, rel_gt)
 
 
 def test_batch_localization_matches_per_frame(sequence):
