@@ -15,10 +15,25 @@ Dictionaries provided:
     public cv2.aruco data (data/aruco_mip_36h12.npz — independent of the
     reference tree; see tools/extract_cv2_dicts.py). Real MIP_36h12 footage
     decodes with this engine.
-  * TPU_16h5 / TPU_25h7 / TPU_36h12 — generated dictionaries (seeded random
-    search with a minimum-Hamming-distance constraint across all rotations).
-    TPU_25h7 stands in for ARUCO_MIP_25h7, whose exact table is not shipped
-    by OpenCV; exact external tables load via `Dictionary.from_codes`.
+  * ARUCO_MIP_25h7 — the samsung7 sequences' dictionary (reference
+    README.md:12; dictionary.h:53-140). The exact published table ships
+    with the upstream aruco library only (not OpenCV), which this offline
+    build cannot fetch and must not copy from the reference tree — so the
+    table is REGENERATED per the published generation criteria
+    (Garrido-Jurado et al., 'Automatic generation and detection of highly
+    reliable fiducial markers under occlusion', PR 2014, §dictionary
+    generation): 5x5 bit markers proposed row-word by row-word with word
+    probabilities mixing bit-transition count (detection robustness) and
+    non-occurrence (inter-marker diversity), accepted when the Hamming
+    distance to every accepted marker over ALL four rotations AND to the
+    marker's own rotations is >= tau = 7 (the 'h7' property), with
+    tau-based error correction floor((7-1)/2) = 3 at decode. 100 ids, the
+    published size. Deterministic (seeded). The exact published table is a
+    drop-in: place it as data/aruco_mip_25h7.npz (same layout as 36h12) or
+    register it at runtime via `Dictionary.from_codes` — decode semantics
+    are table-independent.
+  * TPU_16h5 / TPU_36h12 — generated dictionaries (same acceptance rule)
+    for tests and custom rigs.
 """
 
 from __future__ import annotations
@@ -164,6 +179,64 @@ def _generate_dictionary(name: str, grid: int, num_ids: int, min_dist: int,
     return Dictionary(name, grid, codes, max_correction=(min_dist - 1) // 2)
 
 
+def _word_transitions(w: int, nbits: int) -> int:
+    """Number of bit transitions in an nbits-wide row word."""
+    bits = [(w >> (nbits - 1 - i)) & 1 for i in range(nbits)]
+    return sum(bits[i] != bits[i + 1] for i in range(nbits - 1))
+
+
+def _generate_mip_style(name: str, grid: int, num_ids: int, tau: int,
+                        seed: int) -> Dictionary:
+    """Dictionary generation per the published ArUco criteria
+    (Garrido-Jurado et al. 2014, the process that produced the upstream
+    ARUCO_MIP_* families before the 2015 MILP refinement):
+
+      * markers are proposed ROW WORD by row word; the probability of each
+        2^grid-ary word mixes its normalized bit-TRANSITION count T(w)
+        (high-transition rows survive blur/threshold best) with its
+        normalized NON-OCCURRENCE in the accepted set (penalizing repeated
+        words maximizes inter-marker diversity):
+            P(w)  propto  0.5 * T(w)/(grid-1) + 0.5 * (1 - O(w)/maxO)
+      * a candidate joins the dictionary iff its Hamming distance to every
+        accepted marker under ALL four rotations AND between its own
+        rotations is >= tau (the 'h<tau>' property of the family name).
+
+    Deterministic for a given seed. Decode-time error correction is
+    floor((tau-1)/2), the tau-based semantics of reference
+    dictionary.h:53-140."""
+    rng = np.random.default_rng(seed)
+    nwords = 1 << grid
+    trans = np.asarray(
+        [_word_transitions(w, grid) for w in range(nwords)], np.float64
+    ) / max(grid - 1, 1)
+    occur = np.zeros(nwords, np.float64)
+    word_bits = np.asarray(
+        [[(w >> (grid - 1 - i)) & 1 for i in range(grid)]
+         for w in range(nwords)],
+        np.uint8,
+    )
+    accepted: list = []
+    accepted_all_rots: list = []
+    tries = 0
+    while len(accepted) < num_ids:
+        tries += 1
+        if tries > 500000:      # pragma: no cover - generation must converge
+            raise RuntimeError(f"{name}: dictionary generation stalled")
+        p = 0.5 * trans + 0.5 * (1.0 - occur / max(occur.max(), 1.0))
+        p = p / p.sum()
+        rows = rng.choice(nwords, size=grid, p=p)
+        code = word_bits[rows].reshape(-1)
+        if _min_rot_distance(code, grid, accepted_all_rots) >= tau:
+            accepted.append(code)
+            accepted_all_rots.extend(
+                _rotate_code(code, grid, r) for r in range(4)
+            )
+            for w in rows:
+                occur[w] += 1.0
+    codes = np.stack(accepted)
+    return Dictionary(name, grid, codes, max_correction=(tau - 1) // 2)
+
+
 def _load_packed(name: str, fname: str) -> Dictionary:
     """Load a dictionary from a packbits npz data file shipped with the
     package (grid, num_ids, max_correction, packed [K, ceil(nbits/8)])."""
@@ -193,7 +266,22 @@ def get_dictionary(name: str) -> Dictionary:
         elif name in ("TPU_16h5", "ARUCO_MIP_16h3"):
             _REGISTRY[name] = _generate_dictionary("TPU_16h5", 4, 64, 5, seed=11)
         elif name in ("TPU_25h7", "ARUCO_MIP_25h7"):
-            _REGISTRY[name] = _generate_dictionary("TPU_25h7", 5, 100, 7, seed=12)
+            # prefer the exact published table when present as a data file
+            # (same packbits layout as 36h12); otherwise the faithful
+            # regeneration per the published criteria (module docstring)
+            import os
+
+            data = os.path.join(
+                os.path.dirname(__file__), "data", "aruco_mip_25h7.npz"
+            )
+            if os.path.exists(data):
+                _REGISTRY[name] = _load_packed(
+                    "ARUCO_MIP_25h7", "aruco_mip_25h7.npz"
+                )
+            else:
+                _REGISTRY[name] = _generate_mip_style(
+                    "ARUCO_MIP_25h7", 5, 100, 7, seed=25
+                )
         elif name == "TPU_36h12":
             _REGISTRY[name] = _generate_dictionary("TPU_36h12", 6, 250, 12, seed=13)
         else:
