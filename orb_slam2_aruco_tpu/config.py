@@ -120,6 +120,17 @@ class TrackingConfig:
                                       # reference fork)
     reloc_min_inliers: int = 50       # PoseOptimization >= 50 (Tracking.cc:1741+)
     reset_if_lost_with_kfs_leq: int = 5
+    pipeline_depth: int = 0           # SLAM-mode host pipelining: dispatch
+                                      # frame k+N's tracking before reading
+                                      # frame k's control vector, so the
+                                      # device->host readback latency overlaps
+                                      # compute (the TPU-native analogue of the
+                                      # reference's tracking thread not
+                                      # blocking on LocalMapping). 0 = fully
+                                      # synchronous host decisions (simplest
+                                      # semantics); 2-3 hides a ~20 ms
+                                      # round trip. Keyframe decisions and
+                                      # LOST detection lag by N frames.
 
 
 @dataclasses.dataclass(frozen=True)

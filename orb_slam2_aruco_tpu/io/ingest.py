@@ -167,3 +167,47 @@ class ImageFolderSource:
             if img is None:
                 raise FileNotFoundError(fname)
             yield _to_gray(img, size, cv2), ts
+
+
+class StagedSource:
+    """Double-buffered host->device staging: wraps any (frame, ts) iterator
+    and yields (device_array, ts) with the NEXT frames' decode + H2D
+    transfer overlapping the current frame's compute.
+
+    A background thread drains the wrapped source, issues jax.device_put
+    (itself asynchronous) and parks up to `depth` in-flight frames in a
+    bounded queue — the production ingest path the reference's frame loop
+    (mono_cvcam.cc:141-148) corresponds to, minus any per-frame host sync.
+    uint8 staging quarters the transfer vs float32."""
+
+    def __init__(self, source, depth: int = 2):
+        self.source = source
+        self.depth = max(1, int(depth))
+
+    def __iter__(self):
+        import queue as _queue
+        import threading
+
+        import jax
+
+        q: "_queue.Queue" = _queue.Queue(maxsize=self.depth)
+        _END = object()
+
+        def producer():
+            try:
+                for frame, ts in self.source:
+                    arr = np.ascontiguousarray(frame)
+                    if arr.dtype != np.uint8:
+                        arr = np.clip(arr, 0, 255).astype(np.uint8)
+                    q.put((jax.device_put(arr), ts))
+            finally:
+                q.put(_END)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is _END:
+                break
+            yield item
+        t.join()

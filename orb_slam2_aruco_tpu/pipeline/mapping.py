@@ -54,11 +54,17 @@ def create_keyframe(
     cam: Camera,
     cfg: SlamConfig,
     mk_old=None,           # [A] mvbOldAruco flags at observation time
+    slot=None,             # keyframe slot (host-allocated); None = on-device
+                           # first-free search (forces the caller to read k
+                           # back — the pipelined host loop passes the slot
+                           # from its occupancy mirror to stay sync-free)
 ):
     """Insert the frame as a keyframe; create MapAruco entries for new good
     markers (reference CreateNewKeyFrame, Tracking.cc:1394-1460: new good
     marker => MapAruco with Twm = Twc * Tcm)."""
-    k = first_free_slot(state.kf_valid)
+    k = first_free_slot(state.kf_valid) if slot is None else jnp.asarray(
+        slot, jnp.int32
+    )
     A = slots.shape[0]
     # new markers: good, valid, not bound
     new_mk = frame.mk_valid & frame.mk_good & (slots < 0)

@@ -85,19 +85,47 @@ class SlamSystem:
         # thread becomes a few LM iterations amortized into each frame step)
         self.pending_gba_iters = 0
         self.pending_gba_fuse = False
+        # ---- pipelined SLAM-mode state (tracking.pipeline_depth > 0) ----
+        # frames whose tracking is dispatched but whose control vector has
+        # not been read back yet (the reference's analogue: the tracking
+        # thread never blocks on LocalMapping; here the HOST never blocks on
+        # the device readback until `pipeline_depth` newer frames are in
+        # flight, hiding the relay's ~20 ms round trip)
+        self._pending: List = []
+        self._ref_kf_dev = None          # device-side reference-KF slot
+        self._pending_cull = None        # [2] device (victim, unused) await
+        self._pending_loop = None        # (k, det_marker, det_bow) await
+        self._stat_futures: List = []    # (key, device scalar) lazy stats
+        # host mirror of keyframe-slot occupancy: lets the host hand the
+        # insert slot to create_keyframe instead of reading it back
+        self._kf_valid_host = np.zeros(cfg.map.max_keyframes, bool)
+        self._in_rewind = False
 
     # ------------------------------------------------------------------
     def track_monocular(self, img: np.ndarray, ts: float):
         """Process one grayscale frame ([H, W], 0..255, uint8 or float; a
         device-resident jnp array is used as-is). Returns the world->camera
-        pose (Rcw, tcw) as numpy, or None while uninitialized/lost."""
+        pose (Rcw, tcw), or None while uninitialized/lost.
+
+        With cfg.tracking.pipeline_depth > 0 the SLAM-mode return value is a
+        pair of DEVICE arrays whose computation may still be in flight (no
+        host sync), and LOST/keyframe decisions lag by up to `depth` frames;
+        the trajectory records carry the authoritative per-frame state."""
         frame = make_frame(jnp.asarray(img), self.cam, self.cfg)
         fid = self.frame_id
         self.frame_id += 1
+        return self._step_frame(frame, fid, ts)
 
+    def _step_frame(self, frame: Frame, fid: int, ts: float):
         if self.state in (TrackingState.NO_IMAGES_YET, TrackingState.NOT_INITIALIZED):
             pose = self._try_initialize(frame, fid, ts)
         elif self.state is TrackingState.OK:
+            if (
+                self.cfg.tracking.pipeline_depth > 0
+                and not self.localization_only
+                and not self._in_rewind
+            ):
+                return self._track_pipelined(frame, fid, ts)
             pose = self._track(frame, fid, ts)
         else:
             pose = self._relocalize(frame, fid, ts)
@@ -372,14 +400,16 @@ class SlamSystem:
         slots1 = tracking.bind_markers(self.map, self.init_frame)  # all -1
         N = self.init_frame.kp_uv.shape[0]
         no_obs = jnp.full((N,), -1, jnp.int32)
+        k1 = self._host_alloc_slot()
         self.map, kf1 = mapping.create_keyframe(
             self.map, self.init_frame, eye, zero, no_obs, slots1,
-            self.init_frame_id, self.init_ts, self.cam, cfg,
+            self.init_frame_id, self.init_ts, self.cam, cfg, slot=k1,
         )
         slots2 = tracking.bind_markers(self.map, frame)
+        k2 = self._host_alloc_slot()
         self.map, kf2 = mapping.create_keyframe(
             self.map, frame, cand.R21, cand.t21, no_obs, slots2,
-            fid, ts, self.cam, cfg,
+            fid, ts, self.cam, cfg, slot=k2,
         )
         self.map, n_new = mapping.triangulate_new_points(
             self.map, kf2, kf1, self.cam, cfg, max_new=512
@@ -391,14 +421,14 @@ class SlamSystem:
         # marker init is metric (IPPE with true side length); classic init
         # leaves scale_done False so aruco_plane_update can rescale later
         self.map = self.map._replace(scale_done=jnp.asarray(metric))
-        self.kf_ts64[int(kf1)] = self.init_ts
-        self.kf_ts64[int(kf2)] = ts
+        self.kf_ts64[k1] = self.init_ts
+        self.kf_ts64[k2] = ts
         self.n_keyframes = 2
         self.stats["kf_inserted"] += 2
         self.stats["pts_created"] += int(n_new)
-        self.ref_kf = int(kf2)
-        self.prev_kf_slot = int(kf1)
-        self.last_kf_slot = int(kf2)
+        self.ref_kf = k2
+        self.prev_kf_slot = k1
+        self.last_kf_slot = k2
         self.last_kf_frame_id = fid
         self.last_frame = frame
         Rcw, tcw = cand.R21, cand.t21
@@ -468,29 +498,8 @@ class SlamSystem:
         Rl_inv, tl_inv = se3_inverse(*self.last_pose)
         self.vel = se3_compose(Rcw, tcw, Rl_inv, tl_inv)
 
-        # keyframe decision (NeedNewKeyFrame, Tracking.cc:1296-1392):
-        #  * a new good marker not yet in the map always inserts (:1305-1315)
-        #  * no insert right after relocalization when the map is mature
-        #  * (c1a: >= mMaxFrames since last KF | c1b: >= mMinFrames and the
-        #    mapping phase is idle — always true here, mapping runs as a
-        #    sequential phase) AND c2: inliers < thRefRatio * nRefMatches
-        #    with inliers > 15 (thRefRatio = 0.4 while the map has < 2 KFs)
         if not self.localization_only:
-            new_good = ctrl[4] > 0.5
-            since_kf = fid - self.last_kf_frame_id
-            nkfs = self.n_keyframes
-            max_f = cfg.tracking.max_frames_between_kf
-            n_ref = int(ctrl[18] if nkfs <= 2 else ctrl[17])
-            th_ratio = 0.4 if nkfs < 2 else cfg.tracking.kf_ref_ratio
-            reloc_block = recently_reloc and nkfs > max_f
-            c1a = since_kf >= max_f
-            c1b = since_kf >= cfg.tracking.min_frames_between_kf
-            c2 = n_map_inliers < n_ref * th_ratio and n_map_inliers > 15
-            if _os.environ.get("SLAM_DEBUG_KF"):
-                print(f"KFDBG fid={fid} inl={n_map_inliers} n_ref={n_ref} "
-                      f"since={since_kf} c1a={c1a} c1b={c1b} c2={c2} "
-                      f"block={reloc_block} new_good={bool(new_good)}")
-            if new_good or ((c1a or c1b) and c2 and not reloc_block):
+            if self._kf_decision(ctrl, fid, n_map_inliers, recently_reloc):
                 k_ins = self._insert_keyframe(frame, Rcw, tcw, out.obs_point,
                                               out.slots, fid, ts,
                                               mk_old=out.old_flags)
@@ -510,161 +519,423 @@ class SlamSystem:
         return Rcw_np, tcw_np
 
     # ------------------------------------------------------------------
-    def _insert_keyframe(self, frame, Rcw, tcw, obs_point, slots, fid, ts,
-                         mk_old=None):
+    def _kf_decision(self, ctrl, fid, n_map_inliers, recently_reloc) -> bool:
+        """NeedNewKeyFrame (reference Tracking.cc:1296-1392):
+         * a new good marker not yet in the map always inserts (:1305-1315)
+         * no insert right after relocalization when the map is mature
+         * (c1a: >= mMaxFrames since last KF | c1b: >= mMinFrames and the
+           mapping phase is idle — always true here) AND c2: inliers <
+           thRefRatio * nRefMatches with inliers > 15 (thRefRatio = 0.4
+           while the map has < 2 KFs)."""
         cfg = self.cfg
+        new_good = ctrl[4] > 0.5
+        since_kf = fid - self.last_kf_frame_id
+        nkfs = self.n_keyframes
+        max_f = cfg.tracking.max_frames_between_kf
+        n_ref = int(ctrl[18] if nkfs <= 2 else ctrl[17])
+        th_ratio = 0.4 if nkfs < 2 else cfg.tracking.kf_ref_ratio
+        reloc_block = recently_reloc and nkfs > max_f
+        c1a = since_kf >= max_f
+        c1b = since_kf >= cfg.tracking.min_frames_between_kf
+        c2 = n_map_inliers < n_ref * th_ratio and n_map_inliers > 15
+        import os as _os
+        if _os.environ.get("SLAM_DEBUG_KF"):
+            print(f"KFDBG fid={fid} inl={n_map_inliers} n_ref={n_ref} "
+                  f"since={since_kf} c1a={c1a} c1b={c1b} c2={c2} "
+                  f"block={reloc_block} new_good={bool(new_good)}")
+        return bool(new_good or ((c1a or c1b) and c2 and not reloc_block))
+
+    # ------------------------------------------------------------------
+    # pipelined SLAM-mode tracking (cfg.tracking.pipeline_depth > 0)
+    # ------------------------------------------------------------------
+    def _track_pipelined(self, frame: Frame, fid: int, ts: float):
+        """Dispatch this frame's full tracking step and DEFER the control-
+        vector readback: the device-side tracking context (pose, velocity,
+        last-frame features, visibility counters, reference keyframe) chains
+        frame-to-frame entirely on device, so the host only blocks on a
+        frame's scalars once `pipeline_depth` newer frames are in flight —
+        by then the result has long been computed and transferred. This is
+        the TPU-native analogue of the reference's tracking thread running
+        ahead of LocalMapping (System.cc:96-101): keyframe decisions and
+        LOST detection lag by up to `depth` frames, exactly like the
+        reference's queue latency."""
+        cfg = self.cfg
+        if self.vel is not None:
+            R_pred, t_pred = se3_compose(
+                self.vel[0], self.vel[1], self.last_pose[0], self.last_pose[1]
+            )
+        else:
+            R_pred, t_pred = self.last_pose
+        ref_dev = (
+            self._ref_kf_dev if self._ref_kf_dev is not None
+            else jnp.asarray(self.ref_kf, jnp.int32)
+        )
+        out = tracking.track_full(
+            self.map, frame, R_pred, t_pred,
+            self.last_pose[0], self.last_pose[1],
+            self.last_frame.kp_uv, self.last_frame.desc, self.last_obs,
+            self.last_frame.kp_valid, self.last_frame.kp_octave,
+            self.last_frame.kp_angle,
+            ref_dev, self.cam, cfg,
+        )
+        try:
+            out.ctrl.copy_to_host_async()
+        except AttributeError:      # CPU arrays lack the async-copy hook
+            pass
+        # commit the device-side chain immediately (speculative)
+        self.map = self.map._replace(
+            pt_visible=out.pt_visible, pt_found=out.pt_found
+        )
+        Rl_inv, tl_inv = se3_inverse(*self.last_pose)
+        self.vel = se3_compose(out.Rcw, out.tcw, Rl_inv, tl_inv)
+        self.last_pose = (out.Rcw, out.tcw)
+        self.last_frame = frame
+        self.last_obs = out.obs_point
+        ref_new = out.ctrl[19].astype(jnp.int32)
+        self._ref_kf_dev = jnp.where(ref_new >= 0, ref_new, ref_dev)
+        self._pending.append((fid, ts, frame, out))
+        while len(self._pending) > cfg.tracking.pipeline_depth:
+            if not self._process_oldest():
+                break
+        return out.Rcw, out.tcw
+
+    def flush_pipeline(self):
+        """Process every in-flight frame's control vector (host decisions:
+        trajectory records, keyframe insertion, LOST handling) and resolve
+        all deferred readbacks. Any API that inspects host state (stats,
+        trajectories, mode switches, checkpoints) funnels through here."""
+        while self._pending:
+            if not self._process_oldest():
+                break
+        self._resolve_cull()
+        self._resolve_loop_detection()
+        for key, v in self._stat_futures:
+            self.stats[key] = self.stats.get(key, 0) + int(v)
+        self._stat_futures = []
+
+    def _process_oldest(self) -> bool:
+        """Read the oldest in-flight frame's control vector and apply the
+        host-side decisions. Returns False when a rewind happened (LOST) —
+        the remaining in-flight frames were reprocessed through the
+        synchronous paths."""
+        cfg = self.cfg
+        fid, ts, frame, out = self._pending.pop(0)
+        # deferred readbacks from the PREVIOUS keyframe insert have had a
+        # full frame of compute to land — resolve them first (cheap now)
+        self._resolve_cull()
+        self._resolve_loop_detection()
+        ctrl = np.asarray(out.ctrl)
+        n_map_inliers = int(ctrl[0])
+        if ctrl[2] > 0.5:
+            self.stats["aruco_seeded"] += 1
+        recently_reloc = (
+            fid < self.last_reloc_frame_id + cfg.tracking.max_frames_between_kf
+        )
+        min_ok = (
+            cfg.tracking.reloc_min_inliers
+            if recently_reloc
+            else cfg.tracking.min_matches_local_map
+        )
+        if n_map_inliers < min_ok:
+            self._rewind_lost(fid, ts)
+            return False
+        if int(ctrl[19]) >= 0:
+            self.ref_kf = int(ctrl[19])
+        Rcw_np = ctrl[5:14].reshape(3, 3)
+        tcw_np = ctrl[14:17]
+        self.trajectory.append(
+            FrameRecord(fid, ts, Rcw_np, tcw_np, TrackingState.OK)
+        )
+        if self._kf_decision(ctrl, fid, n_map_inliers, recently_reloc):
+            self._insert_keyframe(
+                frame, out.Rcw, out.tcw, out.obs_point, out.slots, fid, ts,
+                mk_old=out.old_flags, sync=False,
+            )
+        if self.pending_gba_iters > 0:
+            self._gba_slice()       # device-only: stays in the pipeline
+        return True
+
+    def _rewind_lost(self, fid: int, ts: float):
+        """The frame processed `depth` frames late turned out LOST: the
+        speculatively dispatched newer frames chained from a bad pose —
+        discard their results and replay them through the synchronous
+        relocalization path (the same speculative-rewind contract as
+        localize_stream)."""
+        self.state = TrackingState.LOST
+        self.vel = None
+        self._ref_kf_dev = None
+        rest = list(self._pending)
+        self._pending = []
+        self.trajectory.append(
+            FrameRecord(fid, ts, np.eye(3, dtype=np.float32),
+                        np.zeros(3, dtype=np.float32), self.state)
+        )
+        self._in_rewind = True
+        try:
+            for (pfid, pts, pframe, _out) in rest:
+                self._step_frame(pframe, pfid, pts)
+        finally:
+            self._in_rewind = False
+        # auto-reset (reference Tracking.cc:458-466) if the replay did not
+        # recover and the map is immature
+        if (
+            self.state is TrackingState.LOST
+            and not self.localization_only
+            and self.n_keyframes <= self.cfg.tracking.reset_if_lost_with_kfs_leq
+        ):
+            self.reset()
+
+    # ------------------------------------------------------------------
+    def _host_alloc_slot(self) -> int:
+        free = np.flatnonzero(~self._kf_valid_host)
+        if len(free) == 0:
+            return -1
+        k = int(free[0])
+        self._kf_valid_host[k] = True
+        return k
+
+    def _resolve_cull(self):
+        if self._pending_cull is None:
+            return
+        victim = self._pending_cull
+        self._pending_cull = None
+        v = int(victim)
+        if v < 0:
+            return
+        self._kf_valid_host[v] = False
+        self.n_keyframes -= 1
+        self.stats["kf_culled"] = self.stats.get("kf_culled", 0) + 1
+        if v == self.prev_kf_slot:
+            self.prev_kf_slot = self.last_kf_slot
+        if v == self.ref_kf:
+            self.ref_kf = self.last_kf_slot
+
+    def _insert_keyframe(self, frame, Rcw, tcw, obs_point, slots, fid, ts,
+                         mk_old=None, sync=True):
+        """The whole mapping phase (LocalMapping::Run equivalent) for one new
+        keyframe. With sync=False every device->host readback is DEFERRED —
+        the victim of keyframe culling and the loop-detection flags are read
+        one frame later (by then their compute has drained), per-insert
+        stats accumulate as device scalars, and the tracking context is
+        rescaled/re-anchored entirely on device — so a keyframe insert adds
+        dispatches to the device queue but never stalls the host pipeline."""
+        cfg = self.cfg
+        # resolve last insert's deferred work before using host counters
+        self._resolve_cull()
+        self._resolve_loop_detection()
         if self.n_keyframes >= cfg.map.max_keyframes:
             # pool at capacity: force-cull the most redundant keyframe so the
             # map keeps tracking on long sequences instead of silently
             # refusing inserts (the fixed-slot analogue of the reference's
-            # unbounded growth + KeyFrameCulling)
+            # unbounded growth + KeyFrameCulling). This branch blocks on the
+            # victim readback in BOTH modes — the insert slot depends on it
             self.map, victim = mapping.cull_keyframes(
                 self.map, jnp.asarray(self.last_kf_slot), cfg, force=True
             )
             v = int(victim)
             if v < 0:
                 return None  # everything protected (tiny maps only)
+            self._kf_valid_host[v] = False
             self.n_keyframes -= 1
             self.stats["kf_culled"] = self.stats.get("kf_culled", 0) + 1
             if v == self.prev_kf_slot:
                 self.prev_kf_slot = self.last_kf_slot
             if v == self.ref_kf:
                 self.ref_kf = self.last_kf_slot
-        self.map, k = mapping.create_keyframe(
+        k = self._host_alloc_slot()
+        if k < 0:
+            return None
+        self.map, _k = mapping.create_keyframe(
             self.map, frame, Rcw, tcw, obs_point, slots, fid, ts, self.cam,
-            cfg, mk_old=mk_old,
+            cfg, mk_old=mk_old, slot=k,
         )
         self.n_keyframes += 1
         self.stats["kf_inserted"] += 1
-        self.kf_ts64[int(k)] = ts
+        self.kf_ts64[k] = ts
         prev = self.last_kf_slot
-        prev2 = self.prev_kf_slot
         self.prev_kf_slot = prev
-        self.last_kf_slot = int(k)
+        self.last_kf_slot = k
         self.last_kf_frame_id = fid
-        self.ref_kf = int(k)
+        self.ref_kf = k
+        self._ref_kf_dev = None
+        k_dev = jnp.asarray(k)
         # triangulate against the top-N covisible neighbors in one dispatch
         # (reference searches the top-20 covisible KFs, LocalMapping.cc:
         # 222-229, with the baseline/scene-depth > 1% neighbor gate)
         self.map, n_new = mapping.triangulate_vs_covisible(
-            self.map, k, self.cam, cfg,
+            self.map, k_dev, self.cam, cfg,
             n_neighbors=cfg.map.triangulation_neighbors, max_new=256,
         )
-        self.stats["pts_created"] += int(n_new)
+        if sync:
+            self.stats["pts_created"] += int(n_new)
+        else:
+            self._stat_futures.append(("pts_created", n_new))
         self.map, _ = mapping.cull_points(self.map, cfg.map.cull_found_ratio)
         # merge duplicated points (SearchInNeighbors/Fuse)
         self.map, n_fused = mapping.fuse_duplicates(
-            self.map, jnp.asarray(int(k)), self.cam, cfg
+            self.map, k_dev, self.cam, cfg
         )
         self.map = mapping.update_point_stats(self.map, cfg)
         self.map = mapping.distinctive_descriptors(self.map, cfg)
         # marker plane measurement + possible one-shot scale correction
         self.map, s_corr = mapping.aruco_plane_update(
-            self.map, jnp.asarray(int(k)), self.cam, cfg
+            self.map, k_dev, self.cam, cfg
         )
-        if abs(float(s_corr) - 1.0) > 1e-6:
-            # rescale the tracking context too
-            self.last_pose = (self.last_pose[0], self.last_pose[1] * float(s_corr))
-            self.vel = None
-            self.stats["scale_corrections"] = (
-                self.stats.get("scale_corrections", 0) + 1
-            )
+        if sync:
+            if abs(float(s_corr) - 1.0) > 1e-6:
+                # rescale the tracking context too
+                self.last_pose = (
+                    self.last_pose[0], self.last_pose[1] * float(s_corr)
+                )
+                self.vel = None
+                self.stats["scale_corrections"] = (
+                    self.stats.get("scale_corrections", 0) + 1
+                )
+        else:
+            # device-side rescale: a no-op when s == 1; the velocity's
+            # translation scales with the map like everything metric, and so
+            # do the in-flight frames' speculative poses
+            self.last_pose = (self.last_pose[0], self.last_pose[1] * s_corr)
+            if self.vel is not None:
+                self.vel = (self.vel[0], self.vel[1] * s_corr)
+            if self._pending:
+                patched = []
+                for (pfid, pts_, pframe, pout) in self._pending:
+                    ctrl2 = pout.ctrl.at[14:17].set(
+                        pout.ctrl[14:17] * s_corr
+                    )
+                    patched.append((
+                        pfid, pts_, pframe,
+                        pout._replace(tcw=pout.tcw * s_corr, ctrl=ctrl2),
+                    ))
+                self._pending = patched
         if self.n_keyframes > 2:
+            R_pre = self.map.kf_Rcw[k]
+            t_pre = self.map.kf_tcw[k]
             self.map, chi2 = mapping.bundle_adjust(
-                self.map, jnp.asarray(int(k)), self.cam, cfg,
+                self.map, k_dev, self.cam, cfg,
                 max_cams=cfg.map.local_ba_window, max_pts=2048,
                 iters=cfg.optim.local_ba_iters_second,
                 max_fixed=cfg.map.local_ba_fixed_ring,
             )
             self.stats["ba_runs"] += 1
+            if not sync:
+                # later frames already chained off the PRE-BA pose: re-anchor
+                # the tracking context by this keyframe's BA delta, on device
+                # (the reference re-derives frame poses from their reference
+                # KF after mapping updates, Tracking::UpdateLastFrame)
+                Ri, ti = se3_inverse(R_pre, t_pre)
+                Rrel, trel = se3_compose(
+                    self.last_pose[0], self.last_pose[1], Ri, ti
+                )
+                self.last_pose = se3_compose(
+                    Rrel, trel, self.map.kf_Rcw[k], self.map.kf_tcw[k]
+                )
             # keyframe culling (90% redundancy rule, marker protection)
-            self.map, victim = mapping.cull_keyframes(
-                self.map, jnp.asarray(int(k)), cfg
-            )
-            v = int(victim)
-            if v >= 0:
-                self.n_keyframes -= 1
-                self.stats["kf_culled"] = self.stats.get("kf_culled", 0) + 1
-                if v == self.prev_kf_slot:
-                    self.prev_kf_slot = int(k)
-                if v == self.ref_kf:
-                    self.ref_kf = int(k)
+            self.map, victim = mapping.cull_keyframes(self.map, k_dev, cfg)
+            if sync:
+                self._pending_cull = victim
+                self._resolve_cull()
+            else:
+                try:
+                    victim.copy_to_host_async()
+                except AttributeError:
+                    pass
+                self._pending_cull = victim
         # ---- loop closing phase (LoopClosing::Run equivalent) ----------
         if (
             self.n_keyframes - self.last_loop_kf_count
             >= cfg.loop.min_kfs_between_loops
         ):
-            det = loop_closing.detect_loop_by_marker(
-                self.map, jnp.asarray(int(k)),
-                min_gap=cfg.loop.min_kfs_between_loops,
+            det_mk = loop_closing.detect_loop_by_marker(
+                self.map, k_dev, min_gap=cfg.loop.min_kfs_between_loops,
             )
-            if not bool(det.found):
-                det = loop_closing.detect_loop_by_bow(
-                    self.map, jnp.asarray(int(k)),
-                    min_gap=cfg.loop.min_kfs_between_loops,
-                )
-                # BoW candidates need 3-consecutive-consistency (DetectLoop)
-                if bool(det.found) and not self.bow_consistency.update(
-                    self.map, int(det.kf_loop)
-                ):
-                    det = det._replace(found=jnp.asarray(False))
-            if bool(det.found):
-                self.stats["loops_detected"] = (
-                    self.stats.get("loops_detected", 0) + 1
-                )
-                import os as _os
-                if _os.environ.get("SLAM_DEBUG_LOOP"):
-                    print(f"LOOPDBG fid={fid} kf={int(k)} "
-                          f"kf_loop={int(det.kf_loop)} "
-                          f"marker_slot={int(det.marker_slot)}")
-                if int(det.marker_slot) >= 0:
-                    cand = loop_closing.compute_sim3(
-                        self.map, jnp.asarray(int(k)), det.kf_loop,
-                        det.marker_slot, self.cam, cfg,
-                    )
-                else:
-                    cand = loop_closing.compute_sim3_classic(
-                        self.map, jnp.asarray(int(k)), det.kf_loop,
-                        self.cam, cfg,
-                    )
-                if _os.environ.get("SLAM_DEBUG_LOOP"):
-                    print(f"SIM3ACC fid={fid} ok={bool(cand.ok)} "
-                          f"s={float(cand.s):.4f} n={int(cand.n_inliers)} "
-                          f"marker={int(det.marker_slot) >= 0}")
-                if bool(cand.ok):
-                    self.map, _ = loop_closing.correct_loop(
-                        self.map, jnp.asarray(int(k)), det.kf_loop,
-                        cand.s, cand.R, cand.t, self.cam, cfg,
-                    )
-                    # fuse the two sides of the loop now (SearchAndFuse,
-                    # LoopClosing.cc:1074-1100) — tracking needs the merged
-                    # associations immediately
-                    self.map, _ = mapping.fuse_duplicates(
-                        self.map, jnp.asarray(int(k)), self.cam, cfg,
-                        restrict_covisible=False,
-                    )
-                    # global BA runs TIME-SLICED between subsequent frames
-                    # instead of inline (the reference's detached GBA thread,
-                    # LoopClosing.cc:880): a new loop closure before the
-                    # slices drain simply restarts the schedule — the
-                    # reference's mbStopGBA abort-and-restart protocol
-                    # (LoopClosing.cc:660-676)
-                    self.pending_gba_iters = cfg.optim.post_loop_gba_iters
-                    self.pending_gba_fuse = True
-                    # one stabilization slice INLINE: the very next frame
-                    # must track against a self-consistent map (the rest of
-                    # the iterations amortize across subsequent frames)
-                    self._gba_slice()
-                    self.last_loop_kf_count = self.n_keyframes
-                    self.stats["loops_closed"] += 1
-                else:
-                    self.stats["loop_sim3_rejected"] = (
-                        self.stats.get("loop_sim3_rejected", 0) + 1
-                    )
-                    self.stats.setdefault("_rej_inl", []).append(
-                        int(cand.n_inliers)
-                    )
-        return int(k)
+            det_bow = loop_closing.detect_loop_by_bow(
+                self.map, k_dev, min_gap=cfg.loop.min_kfs_between_loops,
+            )
+            if not sync:
+                for arr in (det_mk.found, det_mk.kf_loop, det_mk.marker_slot,
+                            det_bow.found, det_bow.kf_loop):
+                    try:
+                        arr.copy_to_host_async()
+                    except AttributeError:
+                        pass
+            self._pending_loop = (k, fid, det_mk, det_bow)
+            if sync:
+                self._resolve_loop_detection()
+        return k
+
+    # ------------------------------------------------------------------
+    def _resolve_loop_detection(self):
+        """Read back a deferred loop-detection result and, when a loop is
+        found and verified, run the (rare, inherently host-sequential) Sim3 +
+        correction path (ComputeSim3ByAruco / CorrectLoopByAruco,
+        LoopClosing.cc:362-887)."""
+        if self._pending_loop is None:
+            return
+        k, fid, det_mk, det_bow = self._pending_loop
+        self._pending_loop = None
+        cfg = self.cfg
+        if not self._kf_valid_host[k]:
+            return                     # the detection keyframe was culled
+        if bool(det_mk.found):
+            det = det_mk
+        elif bool(det_bow.found) and self.bow_consistency.update(
+            self.map, int(det_bow.kf_loop)
+        ):
+            # BoW candidates need 3-consecutive-consistency (DetectLoop)
+            det = det_bow
+        else:
+            return
+        self.stats["loops_detected"] = self.stats.get("loops_detected", 0) + 1
+        import os as _os
+        if _os.environ.get("SLAM_DEBUG_LOOP"):
+            print(f"LOOPDBG fid={fid} kf={k} kf_loop={int(det.kf_loop)} "
+                  f"marker_slot={int(det.marker_slot)}")
+        if int(det.marker_slot) >= 0:
+            cand = loop_closing.compute_sim3(
+                self.map, jnp.asarray(k), det.kf_loop,
+                det.marker_slot, self.cam, cfg,
+            )
+        else:
+            cand = loop_closing.compute_sim3_classic(
+                self.map, jnp.asarray(k), det.kf_loop, self.cam, cfg,
+            )
+        if _os.environ.get("SLAM_DEBUG_LOOP"):
+            print(f"SIM3ACC fid={fid} ok={bool(cand.ok)} "
+                  f"s={float(cand.s):.4f} n={int(cand.n_inliers)} "
+                  f"marker={int(det.marker_slot) >= 0}")
+        if bool(cand.ok):
+            self.map, _ = loop_closing.correct_loop(
+                self.map, jnp.asarray(k), det.kf_loop,
+                cand.s, cand.R, cand.t, self.cam, cfg,
+            )
+            # fuse the two sides of the loop now (SearchAndFuse,
+            # LoopClosing.cc:1074-1100) — tracking needs the merged
+            # associations immediately
+            self.map, _ = mapping.fuse_duplicates(
+                self.map, jnp.asarray(k), self.cam, cfg,
+                restrict_covisible=False,
+            )
+            # global BA runs TIME-SLICED between subsequent frames
+            # instead of inline (the reference's detached GBA thread,
+            # LoopClosing.cc:880): a new loop closure before the
+            # slices drain simply restarts the schedule — the
+            # reference's mbStopGBA abort-and-restart protocol
+            # (LoopClosing.cc:660-676)
+            self.pending_gba_iters = cfg.optim.post_loop_gba_iters
+            self.pending_gba_fuse = True
+            # one stabilization slice INLINE: the very next frame
+            # must track against a self-consistent map (the rest of
+            # the iterations amortize across subsequent frames)
+            self._gba_slice()
+            self.last_loop_kf_count = self.n_keyframes
+            self.stats["loops_closed"] += 1
+        else:
+            self.stats["loop_sim3_rejected"] = (
+                self.stats.get("loop_sim3_rejected", 0) + 1
+            )
+            self.stats.setdefault("_rej_inl", []).append(int(cand.n_inliers))
 
     # ------------------------------------------------------------------
     def _gba_slice(self):
@@ -720,9 +991,11 @@ class SlamSystem:
             self.last_pose = se3_compose(Rrel, trel, R_ref1, t_ref1)
 
     def flush(self):
-        """Drain all pending amortized work (post-loop global BA slices) —
-        call before reading final trajectories, like joining the reference's
-        GBA thread at shutdown (System::Shutdown, System.cc:205-224)."""
+        """Drain all pending amortized work (pipelined frames, deferred
+        readbacks, post-loop global BA slices) — call before reading final
+        trajectories, like joining the reference's GBA thread at shutdown
+        (System::Shutdown, System.cc:205-224)."""
+        self.flush_pipeline()
         while self.pending_gba_iters > 0:
             self._gba_slice()
 
@@ -803,6 +1076,7 @@ class SlamSystem:
     # ------------------------------------------------------------------
     def activate_localization_mode(self):
         """System::ActivateLocalizationMode — stop inserting keyframes."""
+        self.flush_pipeline()
         self.localization_only = True
 
     def deactivate_localization_mode(self):
@@ -810,6 +1084,12 @@ class SlamSystem:
 
     def reset(self):
         """System::Reset — clear the map and all tracking context."""
+        self._pending = []
+        self._pending_cull = None
+        self._pending_loop = None
+        self._stat_futures = []
+        self._ref_kf_dev = None
+        self._kf_valid_host = np.zeros(self.cfg.map.max_keyframes, bool)
         self.map = empty_map(self.cfg)
         self.state = TrackingState.NO_IMAGES_YET
         self.n_keyframes = 0
@@ -826,6 +1106,7 @@ class SlamSystem:
         self.pending_gba_fuse = False
 
     def get_trajectory(self):
+        self.flush_pipeline()
         return self.trajectory
 
     def keyframe_trajectory(self):
@@ -847,6 +1128,7 @@ class SlamSystem:
         """System::SaveMap equivalent (markers included)."""
         from orb_slam2_aruco_tpu.io import checkpoint
 
+        self.flush()
         checkpoint.save_map(path, self.map, kf_ts64=self.kf_ts64)
 
     def load_map(self, path: str):
@@ -857,7 +1139,13 @@ class SlamSystem:
         signatures, which the reference loses)."""
         from orb_slam2_aruco_tpu.io import checkpoint
 
+        self._pending = []
+        self._pending_cull = None
+        self._pending_loop = None
+        self._stat_futures = []
+        self._ref_kf_dev = None
         self.map = checkpoint.load_map(path)
+        self._kf_valid_host = np.asarray(self.map.kf_valid).copy()
         ts64 = checkpoint.load_extras(path).get("kf_ts64")
         if ts64 is not None and ts64.shape == self.kf_ts64.shape:
             self.kf_ts64 = np.asarray(ts64, np.float64)

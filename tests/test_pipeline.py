@@ -470,3 +470,69 @@ def test_capacity_soak_slot_recycling():
     # tracked (the map kept a usable working set through the evictions)
     tail = [r for r in slam.get_trajectory()[-10:]]
     assert all(r.state is TrackingState.OK for r in tail)
+
+
+def test_pipelined_slam_tracks_and_matches_sync(sequence):
+    """SLAM-mode pipelining (pipeline_depth=2: control readbacks deferred,
+    keyframe decisions lag two frames, mapping phase fully async) must
+    produce a trajectory of the same quality as the synchronous path —
+    exact equality is impossible (frames k+1..k+2 track against the
+    pre-insert map, like the reference's tracking running ahead of
+    LocalMapping), so both are held to the same ATE bar."""
+    import dataclasses
+
+    world, poses, imgs, cfg = sequence
+    cfg2 = cfg.replace(
+        tracking=dataclasses.replace(cfg.tracking, pipeline_depth=2)
+    )
+    s1 = SlamSystem(cfg2)
+    for i, img in enumerate(imgs):
+        s1.track_monocular(img, ts=i / 30.0)
+    s1.flush()
+    assert s1.state is TrackingState.OK
+    assert not s1._pending
+    assert s1.n_keyframes >= 2
+    recs = [r for r in s1.get_trajectory() if r.state is TrackingState.OK]
+    assert len(recs) >= len(imgs) - 6
+    est_c = trajectory.camera_centers([r.Rcw for r in recs],
+                                      [r.tcw for r in recs])
+    gt = [poses[r.frame_id] for r in recs]
+    gt_c = trajectory.camera_centers([g[0] for g in gt], [g[1] for g in gt])
+    ate = trajectory.ate_rmse(est_c, gt_c, align=True, with_scale=False)
+    assert ate < 0.03, ate
+    # host slot mirror consistent with the device map
+    np.testing.assert_array_equal(
+        s1._kf_valid_host, np.asarray(s1.map.kf_valid)
+    )
+    assert s1.n_keyframes == int(s1.map.num_keyframes())
+
+
+def test_pipelined_lost_rewind_and_recovery(sequence):
+    """A blackout discovered `depth` frames late must rewind the speculative
+    frames and recover through relocalization, exactly like the synchronous
+    path does."""
+    import dataclasses
+
+    world, poses, imgs, cfg = sequence
+    cfg2 = cfg.replace(
+        tracking=dataclasses.replace(cfg.tracking, pipeline_depth=2,
+                                     reset_if_lost_with_kfs_leq=0)
+    )
+    slam = SlamSystem(cfg2)
+    for i, img in enumerate(imgs[:10]):
+        slam.track_monocular(img, ts=i / 30.0)
+    black = np.zeros_like(imgs[0])
+    for j in range(3):
+        slam.track_monocular(black, ts=(10 + j) / 30.0)
+    # resume with real frames -> marker relocalization recovers
+    for j, img in enumerate(imgs[10:14]):
+        slam.track_monocular(img, ts=(13 + j) / 30.0)
+    slam.flush()
+    assert slam.state is TrackingState.OK
+    assert slam.stats["reloc"] >= 1
+    # trajectory records cover every frame exactly once, in order
+    fids = [r.frame_id for r in slam.get_trajectory()]
+    assert fids == sorted(fids) and len(set(fids)) == len(fids)
+    assert len(fids) == 17
+    lost = [r for r in slam.trajectory if r.state is TrackingState.LOST]
+    assert len(lost) >= 2          # the blacked-out frames
