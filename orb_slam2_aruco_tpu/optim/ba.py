@@ -195,11 +195,21 @@ def ba_solve(
     psum_axis: Optional[str] = None,
     solver: str = "auto",
     cg_iters: int = 32,
+    edges_by_point: bool = False,
 ) -> BAResult:
     """Run LM with Schur complement. If `psum_axis` is given, the function is
     being called inside shard_map with edges sharded along that mesh axis: all
     cross-edge reductions gain a psum so every device sees the global normal
     equations (states are replicated).
+
+    edges_by_point (distributed only): promises that every point's edges
+    live on ONE shard (parallel.dist_ba.partition_edges_by_point). The
+    landmark-sized CG intermediate u = W^T x then needs NO collective (it is
+    owner-complete locally and zero elsewhere), and the camera/marker-sized
+    matvec contributions FUSE into a single ~6(K+M)-float psum per CG step —
+    the per-step all-reduce payload drops from L-sized (hundreds of KB) to
+    ~10 KB and the collective count from 4 to 1, which is what makes the CG
+    latency-bound DCN cost model close (BASELINE.md).
 
     solver: "dense" assembles the reduced camera system S explicitly and
     Cholesky-solves it — right for small windows (local BA). "cg" never forms
@@ -293,27 +303,45 @@ def ba_solve(
             def matvec(xc, xm):
                 xc = xc * free_c[:, None]
                 xm = xm * free_m[:, None]
-                yc = jnp.einsum("kij,kj->ki", Hcc, xc)
-                ym = jnp.einsum("mij,mj->mi", Hmm, xm)
-                # camera<->marker coupling via marker edges
+                yc0 = jnp.einsum("kij,kj->ki", Hcc, xc)   # globally-summed Hcc
+                ym0 = jnp.einsum("mij,mj->mi", Hmm, xm)
+                # camera<->marker coupling via marker edges (local contribs)
                 t_m = jnp.einsum("fej,fj->fe", Jm_m, xm[p.m_marker])
-                yc = yc + maybe_psum(_seg_reduce(
+                yc_mk = _seg_reduce(
                     plan_mkf,
                     jnp.einsum("fei,fe,f->fi", Jc_m, t_m, w_m), K,
-                ))
+                )
                 t_c = jnp.einsum("fei,fi->fe", Jc_m, xc[p.m_kf])
-                ym = ym + maybe_psum(_seg_reduce(
+                ym_mk = _seg_reduce(
                     plan_mm,
                     jnp.einsum("fej,fe,f->fj", Jm_m, t_c, w_m), M,
-                ))
+                )
                 # Schur subtraction: W Hpp^-1 W^T xc, two segment reductions
-                u = maybe_psum(_seg_reduce(
+                u = _seg_reduce(
                     plan_pt, jnp.einsum("fij,fi->fj", Wcp, xc[p.e_kf]), L
-                ))                                                # [L, 3]
+                )                                                 # [L, 3]
+                if not edges_by_point:
+                    # edges of one point may be spread over shards: the
+                    # landmark intermediate needs the (L-sized!) collective
+                    u = maybe_psum(u)
+                # else: u is owner-complete locally and zero elsewhere, so
+                # the camera-side reduction below already sums to the global
+                # value across shards — no landmark-sized collective
                 s = jnp.einsum("lij,lj->li", Hpp_inv, u)
-                yc = yc - maybe_psum(_seg_reduce(
+                yc_sch = _seg_reduce(
                     plan_kf, jnp.einsum("fij,fj->fi", Wcp, s[p.e_pt]), K
-                ))
+                )
+                if edges_by_point and psum_axis is not None:
+                    # ONE fused camera/marker-sized psum per CG step
+                    packed = jnp.concatenate(
+                        [(yc_mk - yc_sch).reshape(-1), ym_mk.reshape(-1)]
+                    )
+                    packed = jax.lax.psum(packed, psum_axis)
+                    yc = yc0 + packed[: 6 * K].reshape(K, 6)
+                    ym = ym0 + packed[6 * K:].reshape(M, 6)
+                else:
+                    yc = yc0 + maybe_psum(yc_mk) - maybe_psum(yc_sch)
+                    ym = ym0 + maybe_psum(ym_mk)
                 # LM damping; fixed states act as identity rows
                 yc = (yc + lam * diag_c * xc + 1e-8 * xc) * free_c[:, None]
                 ym = (ym + lam * diag_m * xm + 1e-8 * xm) * free_m[:, None]

@@ -33,6 +33,76 @@ def make_mesh(n_devices: Optional[int] = None, axis: str = "kf") -> Mesh:
     return Mesh(np.asarray(devs), (axis,))
 
 
+def partition_edges_by_point(prob: ba.BAProblem, n_shards: int):
+    """Permute + pad the POINT-edge lists so that (a) every point's edges
+    land on ONE shard and (b) shard loads are balanced (greedy
+    longest-processing-time assignment of per-point edge groups).
+
+    This is the landmark-decomposition layout: landmark marginalization is
+    embarrassingly parallel given replicated camera states, so owning a
+    point's whole edge group makes the CG's landmark-sized intermediate
+    shard-local — each CG step then needs only one camera-sized collective
+    (ba.ba_solve edges_by_point). Masked/padding edges fill the per-shard
+    remainder. Returns (permuted problem, scatter [E2] int32 mapping each
+    permuted edge to its ORIGINAL index, -1 for padding)."""
+    e_pt = np.asarray(prob.e_pt)
+    e_mask = np.asarray(prob.e_mask)
+    E = e_pt.shape[0]
+    valid = e_mask > 0
+    vidx = np.flatnonzero(valid)
+    midx = np.flatnonzero(~valid)
+    order = vidx[np.argsort(e_pt[vidx], kind="stable")]
+    pts, starts, counts = np.unique(
+        e_pt[order], return_index=True, return_counts=True
+    )
+    # LPT: biggest groups first onto the lightest shard
+    shard_of = np.zeros(len(pts), np.int32)
+    load = np.zeros(n_shards, np.int64)
+    for g in np.argsort(-counts, kind="stable"):
+        s = int(np.argmin(load))
+        shard_of[g] = s
+        load[s] += counts[g]
+    # spread masked edges to even the loads before computing the cap
+    spare = np.zeros(n_shards, np.int64)
+    for i in range(len(midx)):
+        s = int(np.argmin(load + spare))
+        spare[s] += 1
+    cap = int(np.max(load + spare)) if E else 0
+    scatter = np.full(n_shards * cap, -1, np.int64)
+    fill = np.zeros(n_shards, np.int64)
+    for g in np.argsort(-counts, kind="stable"):
+        s = shard_of[g]
+        n = counts[g]
+        o = s * cap + fill[s]
+        scatter[o:o + n] = order[starts[g]:starts[g] + n]
+        fill[s] += n
+    mi = 0
+    for s in range(n_shards):
+        take = min(len(midx) - mi, cap - int(fill[s]))
+        if take > 0:
+            o = s * cap + int(fill[s])
+            scatter[o:o + take] = midx[mi:mi + take]
+            mi += take
+            fill[s] += take
+
+    def permute1(x):
+        xn = np.asarray(x)
+        out = np.zeros((len(scatter),) + xn.shape[1:], xn.dtype)
+        ok = scatter >= 0
+        out[ok] = xn[scatter[ok]]
+        return jnp.asarray(out)
+
+    new_mask = np.zeros(len(scatter), np.float32)
+    ok = scatter >= 0
+    new_mask[ok] = np.asarray(prob.e_mask)[scatter[ok]]
+    prob2 = prob._replace(
+        e_kf=permute1(prob.e_kf), e_pt=permute1(prob.e_pt),
+        e_uv=permute1(prob.e_uv), e_info=permute1(prob.e_info),
+        e_mask=jnp.asarray(new_mask),
+    )
+    return prob2, scatter
+
+
 def pad_edges_to(prob: ba.BAProblem, multiple: int) -> ba.BAProblem:
     """Pad the edge lists so their length divides the mesh size (padded edges
     are masked out)."""
@@ -65,9 +135,16 @@ def distributed_ba_solve(
     huber_delta: float = 2.4477,
     lam0: float = 1e-4,
 ) -> ba.BAResult:
-    """Run ba_solve with observations sharded over the mesh axis."""
+    """Run ba_solve with observations sharded over the mesh axis.
+
+    Point edges are PARTITIONED BY LANDMARK (partition_edges_by_point) so
+    each CG step's cross-shard traffic is one fused camera-sized psum; the
+    returned edge_chi2 is scattered back to the caller's original edge
+    order."""
     axis = mesh.axis_names[0]
     n = mesh.devices.size
+    E_orig = int(prob.e_kf.shape[0])
+    prob, scatter = partition_edges_by_point(prob, n)
     prob = pad_edges_to(prob, n)
     shard = P(axis)
     repl = P()
@@ -86,9 +163,15 @@ def distributed_ba_solve(
     def step(p):
         return ba.ba_solve(
             p, cam, iters=iters, huber_delta=huber_delta, lam0=lam0,
-            psum_axis=axis,
+            psum_axis=axis, edges_by_point=True,
         )
 
     f = jax.shard_map(step, mesh=mesh, in_specs=(in_specs,),
                       out_specs=out_specs, check_vma=False)
-    return jax.jit(f)(prob)
+    out = jax.jit(f)(prob)
+    # un-permute the per-edge chi2 back to the caller's edge order
+    chi = np.zeros(E_orig, np.float32)
+    chi_perm = np.asarray(out.edge_chi2)[: len(scatter)]
+    ok = scatter >= 0
+    chi[scatter[ok]] = chi_perm[ok]
+    return out._replace(edge_chi2=jnp.asarray(chi))

@@ -56,26 +56,47 @@ def main():
         print(f"mesh={n:2d} virtual cpu devices: {args.iters / dt:6.2f} "
               f"LM iters/s  (chi2 {float(out.chi2):.1f})")
 
-    # ---- comms-volume model (per LM iteration of the PCG path) ----------
-    cg = 32
+    # ---- latency + bandwidth comms model (per LM iteration) -------------
+    # Point-grouped edge sharding (dist_ba.partition_edges_by_point +
+    # ba_solve edges_by_point): every point's edges live on one shard, so
+    # the CG's landmark-sized intermediate is shard-local and each CG step
+    # all-reduces ONE fused camera/marker-sized vector. Collective count
+    # per LM iteration:
+    #   build     3 fused psums (Hpp+bp ~0.96 MB, Hcc/bc/Hmm/bm ~50 KB,
+    #             bc_red ~6 KB)
+    #   CG        n_cg x 1 psum of 6(K+M) floats (~6.5 KB each)
+    #   backsub   1 psum of W^T dx (~240 KB) + 1 chi2 scalar
+    # Each collective costs alpha (launch+network latency) + 2*bytes/beta
+    # (ring all-reduce moves ~2x payload). 32 SEQUENTIAL small all-reduces
+    # are LATENCY-bound on DCN — pricing alpha is what the round-2 model
+    # missed; the point-grouped layout is what makes it survivable (the old
+    # edge-striped layout needed 4 collectives per CG step, one L-sized:
+    # 128 latency hits + 8.9 MB per LM iteration).
     f32 = 4
-    per_matvec = (L * 3 + K * 6 + M * 6 * 2) * f32        # psum'd vectors
-    per_build = (L * 9 + L * 3 + K * 36 + K * 6 * 2 + M * 36 + M * 6) * f32
-    per_iter = per_build + cg * per_matvec
-    print(f"\ncomms per LM iteration (all-reduce payload): "
-          f"build {per_build/1e6:.2f} MB + {cg} CG matvecs x "
-          f"{per_matvec/1e3:.0f} KB = {per_iter/1e6:.2f} MB")
-    for name, bw in (("ICI v5e (one hop, ~45 GB/s/link)", 45e9),
-                     ("DCN 2-host (~25 GB/s/host)", 25e9)):
-        # ring all-reduce moves ~2x the payload per device
-        t_comms = 2 * per_iter / bw
-        print(f"  {name}: ~{t_comms*1e3:.2f} ms/LM-iteration of comms")
-    flops_per_edge = 2500.0   # residual+jacobian+matvec segment work
-    print(f"  compute per device at 2 hosts (16 chips): ~{E/16:.0f} edges x "
-          f"{cg + 2} passes -> stays >= 10x the comms at these sizes; the "
-          "dense-Schur alternative would all-reduce "
-          f"{(K * L * 18 * 2 * f32)/1e9:.1f} GB per iteration, which is why "
-          "the PCG formulation is the one that scales.")
+    build_bytes = (L * 9 + L * 3) * f32 + (K * 42 + M * 42) * f32 + K * 6 * f32
+    cg_bytes = 6 * (K + M) * f32
+    backsub_bytes = L * 3 * f32
+    t_chip_1 = 1.0 / 13.0      # measured single-chip LM iteration (BENCH_r02)
+    print("\nlatency+bandwidth model, K=256 L=20k E=256k "
+          "(t_compute from the measured 13 LM iters/s single-chip):")
+    for n_cg in (32, 16):
+        n_coll = 3 + n_cg + 2
+        payload = build_bytes + n_cg * cg_bytes + backsub_bytes
+        for name, alpha, beta, chips in (
+            ("ICI v5e 8-chip  (a~5us,  45 GB/s)", 5e-6, 45e9, 8),
+            ("DCN 2-host a=50us (25 GB/s)", 50e-6, 25e9, 16),
+            ("DCN 2-host a=100us (25 GB/s)", 100e-6, 25e9, 16),
+        ):
+            t_comms = n_coll * alpha + 2 * payload / beta
+            t_comp = t_chip_1 / chips
+            eff = t_comp / (t_comp + t_comms)
+            print(f"  n_cg={n_cg:2d} {name}: comms {t_comms*1e3:5.2f} ms "
+                  f"+ compute {t_comp*1e3:.2f} ms -> eff {eff*100:4.1f}% "
+                  f"at {chips} chips")
+    print("  (n_cg=16 is the typical early-exit CG depth on warm LM steps; "
+          "the tol-based exit is in ba_solve. The dense-Schur alternative "
+          f"would all-reduce {(K * L * 18 * 2 * f32)/1e9:.1f} GB per "
+          "iteration and could never scale past one chip.)")
 
 
 if __name__ == "__main__":
