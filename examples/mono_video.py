@@ -93,6 +93,13 @@ def main():
     ap.add_argument("--max-frames", type=int, default=0)
     ap.add_argument("--two-pass", action="store_true")
     ap.add_argument("--chunk", type=int, default=8)
+    ap.add_argument("--pipeline", type=int, default=2,
+                    help="SLAM-mode host pipelining depth (frames in flight "
+                         "before blocking on a control readback; 0 = fully "
+                         "synchronous decisions)")
+    ap.add_argument("--no-stage", action="store_true",
+                    help="disable the double-buffered host->device frame "
+                         "staging thread")
     ap.add_argument("--save-map", type=str, default="")
     ap.add_argument("--viewer", type=int, default=-1, metavar="PORT",
                     help="serve the live map viewer on this port "
@@ -123,11 +130,16 @@ def main():
           f"cx={camc.cx:.1f} cy={camc.cy:.1f} {camc.width}x{camc.height} "
           f"dist={camc.dist}")
 
+    import dataclasses
+
     cfg = SlamConfig().replace(camera=camc)
     cfg = cfg.replace(
         orb=cfg.orb.__class__(num_features=args.features),
         aruco=cfg.aruco.__class__(dictionary=args.dict,
                                   marker_size=args.marker_size),
+        tracking=dataclasses.replace(
+            SlamConfig().tracking, pipeline_depth=max(0, args.pipeline)
+        ),
     )
 
     if args.video:
@@ -146,7 +158,8 @@ def main():
     timer = FrameTimer(warmup=5)
     frames_kept = []      # for the optional second pass
     n = 0
-    for img, ts in source:
+    feed = source if args.no_stage else ingest.StagedSource(source)
+    for img, ts in feed:
         with timer.frame():
             slam.track_monocular(img, ts=ts)
         if args.two_pass:
@@ -162,6 +175,7 @@ def main():
         if args.max_frames and n >= args.max_frames:
             break
     print()
+    slam.flush()          # drain in-flight pipelined frames + stat futures
     print(timer)
     print(f"keyframes: {slam.n_keyframes}  points: "
           f"{int(slam.map.num_points())}  markers: "

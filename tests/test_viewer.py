@@ -104,3 +104,40 @@ def test_viewer_http_roundtrip():
         assert v.poll_controls() == {}  # one-shot drain
     finally:
         v.close()
+
+
+def test_viewer_rejects_cross_origin_control():
+    """POST /control with a foreign Origin header must be rejected (a JSON
+    'simple request' from any open webpage could otherwise reset the live
+    system); same-origin and origin-less (CLI) requests still work."""
+    import json
+    import urllib.request
+    import urllib.error
+
+    from orb_slam2_aruco_tpu.viz.viewer import MapViewer
+
+    v = MapViewer(port=0)
+    try:
+        base = f"http://127.0.0.1:{v.port}"
+        evil = urllib.request.Request(
+            base + "/control",
+            data=json.dumps({"cmd": "reset", "value": True}).encode(),
+            headers={"Origin": "http://evil.example"},
+            method="POST",
+        )
+        try:
+            urllib.request.urlopen(evil, timeout=5)
+            raise AssertionError("cross-origin /control was accepted")
+        except urllib.error.HTTPError as e:
+            assert e.code == 403
+        assert v.poll_controls() == {}
+        ok = urllib.request.Request(
+            base + "/control",
+            data=json.dumps({"cmd": "reset", "value": True}).encode(),
+            headers={"Origin": f"http://127.0.0.1:{v.port}"},
+            method="POST",
+        )
+        urllib.request.urlopen(ok, timeout=5)
+        assert v.poll_controls() == {"reset": True}
+    finally:
+        v.close()
