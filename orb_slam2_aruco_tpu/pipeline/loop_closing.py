@@ -592,6 +592,18 @@ def detect_loop_by_bow(state: MapState, kf_cur, min_gap: int = 10):
     )
 
 
+@functools.partial(jax.jit, static_argnames=("min_gap",))
+def detect_loops(state: MapState, kf_cur, min_gap: int = 10):
+    """Marker-id + BoW loop detection as ONE device program: the tracking
+    loop dispatches both every eligible keyframe insert (sync-free, flags
+    read back a frame later), and fusing them lets XLA compute the shared
+    covisibility matrix once."""
+    return (
+        detect_loop_by_marker(state, kf_cur, min_gap=min_gap),
+        detect_loop_by_bow(state, kf_cur, min_gap=min_gap),
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "num_hypotheses"))
 def compute_sim3_classic(state: MapState, kf_cur, kf_loop,
                          cam: Camera, cfg: SlamConfig,

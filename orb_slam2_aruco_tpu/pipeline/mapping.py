@@ -1309,41 +1309,38 @@ def distinctive_descriptors(state: MapState, cfg: SlamConfig):
     minimum median Hamming distance to the point's other observations
     (MapPoint::ComputeDistinctiveDescriptors, reference src/MapPoint.cc:271).
 
-    Fixed-shape formulation: a scan over keyframes fills a [L, O, 8]
-    per-point descriptor table (each point is observed at most once per
-    keyframe, so writes within one step never collide), capped at
-    O = MAX_DESC_OBS observations; pairwise distances are XOR + popcount;
+    TPU-shape formulation (no sequential pass over keyframes): a vmapped
+    scatter builds the per-keyframe inverse map point->feature (first
+    feature wins — fusion can leave two features of one KF on the same
+    point), a stable top-k over the transposed incidence picks each point's
+    first O = MAX_DESC_OBS observing keyframes, and a batched gather fills
+    the [L, O, 8] descriptor table; pairwise distances are XOR + popcount;
     the median is a masked sorted-gather at index floor((cnt-1)/2), matching
     the reference's vDists[0.5*(N-1)] with the self-distance included."""
     K, N = state.kf_obs_point.shape
     L = state.L
     O = MAX_DESC_OBS
 
-    def body(carry, inp):
-        cnt, table = carry
-        obs, desc, featv = inp                     # [N], [N, 8], [N]
-        # dedup within the keyframe: fusion can remap two features of one
-        # keyframe onto the same point — keep only the first, otherwise the
-        # colliding scatter below leaves a valid-marked zero slot
-        n_idx = jnp.arange(obs.shape[0], dtype=jnp.int32)
-        row0 = jnp.clip(obs, 0, L - 1)
-        first = jnp.full((L,), obs.shape[0], jnp.int32).at[row0].min(
-            jnp.where((obs >= 0) & featv, n_idx, obs.shape[0])
-        )
-        pos = cnt[row0]
-        ok = (obs >= 0) & featv & (pos < O) & (first[row0] == n_idx)
-        row = jnp.where(ok, obs, L)                # L = out-of-range -> drop
-        col = jnp.clip(pos, 0, O - 1)
-        table = table.at[row, col].set(desc, mode="drop")
-        cnt = cnt.at[row].add(1, mode="drop")
-        return (cnt, table), None
+    obs_all = jnp.where(
+        state.kf_kp_valid & state.kf_valid[:, None], state.kf_obs_point, -1
+    )                                                     # [K, N]
 
-    cnt0 = jnp.zeros((L,), jnp.int32)
-    table0 = jnp.zeros((L, O, 8), jnp.uint32)
-    obs_all = jnp.where(state.kf_valid[:, None], state.kf_obs_point, -1)
-    (cnt, table), _ = jax.lax.scan(
-        body, (cnt0, table0), (obs_all, state.kf_desc, state.kf_kp_valid)
-    )
+    def inv_row(obs_k):
+        # first feature of this keyframe observing each point (N = none)
+        return jnp.full((L,), N, jnp.int32).at[
+            jnp.clip(obs_k, 0, L - 1)
+        ].min(jnp.where(obs_k >= 0, jnp.arange(N, dtype=jnp.int32), N))
+
+    inv = jax.vmap(inv_row)(obs_all)                      # [K, L]
+    observes = (inv < N).astype(jnp.int32)                # [K, L]
+    # first O observing keyframes per point (top_k is stable: equal values
+    # keep ascending slot order, mirroring the old slot-order fill)
+    vals, kf_sel = jax.lax.top_k(observes.T, O)           # [L, O]
+    jv_sel = vals > 0
+    cnt = jnp.sum(jv_sel, axis=-1).astype(jnp.int32)      # [L]
+    feat = jnp.take_along_axis(inv.T, kf_sel, axis=1)     # [L, O]
+    desc = state.kf_desc[kf_sel, jnp.clip(feat, 0, N - 1)]  # [L, O, 8]
+    table = jnp.where(jv_sel[..., None], desc, jnp.uint32(0))
 
     x = jax.lax.population_count(table[:, :, None, :] ^ table[:, None, :, :])
     dist = jnp.sum(x, axis=-1).astype(jnp.int32)   # [L, O, O]

@@ -847,10 +847,7 @@ class SlamSystem:
             self.n_keyframes - self.last_loop_kf_count
             >= cfg.loop.min_kfs_between_loops
         ):
-            det_mk = loop_closing.detect_loop_by_marker(
-                self.map, k_dev, min_gap=cfg.loop.min_kfs_between_loops,
-            )
-            det_bow = loop_closing.detect_loop_by_bow(
+            det_mk, det_bow = loop_closing.detect_loops(
                 self.map, k_dev, min_gap=cfg.loop.min_kfs_between_loops,
             )
             if not sync:
