@@ -104,6 +104,9 @@ def main():
         lat.append(time.perf_counter() - t0)
     t_flush0 = time.perf_counter()
     slam2.flush()                              # drain in-flight frames
+    jax.block_until_ready(slam2.map.pt_xyz)    # and the device queue: flush
+    # only reads scalars, so without this the clock stops while mapping
+    # programs are still executing and slam_fps overstates throughput
     flush_dt = time.perf_counter() - t_flush0
     total_dt = time.perf_counter() - t_all0
     assert slam2.state is TrackingState.OK

@@ -131,6 +131,17 @@ class TrackingConfig:
                                       # semantics); 2-3 hides a ~20 ms
                                       # round trip. Keyframe decisions and
                                       # LOST detection lag by N frames.
+    loc_two_stage: bool = True        # localization chunks: run the cheap
+                                      # motion-tracking cascade as the only
+                                      # SEQUENTIAL part (scan) and batch the
+                                      # expensive local-map matching+refine
+                                      # across the whole chunk (vmap -> MXU);
+                                      # frame i+1 then seeds from frame i's
+                                      # stage-1 pose instead of its refined
+                                      # pose (sub-pixel difference in
+                                      # steady-state tracking). False = the
+                                      # fully sequential reference-ordered
+                                      # cascade.
 
 
 @dataclasses.dataclass(frozen=True)

@@ -444,9 +444,20 @@ def detect_markers(
     qvalid = qvalid & inside
     det = decode_quads(img, quads, qvalid, dict_name, cell_px=cell_px)
     if refine:
-        # subpixel corner refinement (CORNER_LINES mode); callers that
-        # compact detections first can refine just the survivors instead
-        det = det._replace(corners=refine_corners_lines(img, det.corners))
+        # subpixel corner refinement (CORNER_LINES mode) of the DECODED
+        # survivors only: at most a handful of the max_quads candidates
+        # carry a valid dictionary id, and the full-res line sampling is
+        # ~1.9 ms/frame when run over all 64 candidate slots — compact to a
+        # 16-slot budget, refine, scatter back
+        Kq = det.corners.shape[0]
+        R = min(16, Kq)
+        _, ridx = jax.lax.top_k(det.valid.astype(jnp.int32), R)
+        refined_sub = refine_corners_lines(img, det.corners[ridx])
+        keep = det.valid[ridx]
+        corners = det.corners.at[ridx].set(
+            jnp.where(keep[:, None, None], refined_sub, det.corners[ridx])
+        )
+        det = det._replace(corners=corners)
     # deduplicate: if two candidate blobs decode to the same id (border blob
     # and interior blob can both form quads), keep the first occurrence
     ids = det.ids

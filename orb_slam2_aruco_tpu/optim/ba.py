@@ -35,7 +35,6 @@ from orb_slam2_aruco_tpu.geometry.camera import Camera
 from orb_slam2_aruco_tpu.geometry.lie import se3_exp, se3_compose
 from orb_slam2_aruco_tpu.optim import residuals as res
 from orb_slam2_aruco_tpu.optim.lm import diag_embed
-from orb_slam2_aruco_tpu.optim.segsum import segment_sum_sorted
 
 
 class BAProblem(NamedTuple):
@@ -163,6 +162,29 @@ class _SegPlan(NamedTuple):
     right: jnp.ndarray   # [S] one-past-last sorted position
 
 
+def _inv3x3(M):
+    """Batched closed-form 3x3 inverse (adjugate/determinant) — the LU path
+    jnp.linalg.inv lowers to runs of sequential triangular solves on TPU, paid
+    once per landmark per LM iteration."""
+    c00 = M[..., 1, 1] * M[..., 2, 2] - M[..., 1, 2] * M[..., 2, 1]
+    c01 = M[..., 0, 2] * M[..., 2, 1] - M[..., 0, 1] * M[..., 2, 2]
+    c02 = M[..., 0, 1] * M[..., 1, 2] - M[..., 0, 2] * M[..., 1, 1]
+    c10 = M[..., 1, 2] * M[..., 2, 0] - M[..., 1, 0] * M[..., 2, 2]
+    c11 = M[..., 0, 0] * M[..., 2, 2] - M[..., 0, 2] * M[..., 2, 0]
+    c12 = M[..., 0, 2] * M[..., 1, 0] - M[..., 0, 0] * M[..., 1, 2]
+    c20 = M[..., 1, 0] * M[..., 2, 1] - M[..., 1, 1] * M[..., 2, 0]
+    c21 = M[..., 0, 1] * M[..., 2, 0] - M[..., 0, 0] * M[..., 2, 1]
+    c22 = M[..., 0, 0] * M[..., 1, 1] - M[..., 0, 1] * M[..., 1, 0]
+    det = M[..., 0, 0] * c00 + M[..., 0, 1] * c10 + M[..., 0, 2] * c20
+    det = jnp.where(jnp.abs(det) < 1e-30, 1e-30, det)
+    adj = jnp.stack([
+        jnp.stack([c00, c01, c02], axis=-1),
+        jnp.stack([c10, c11, c12], axis=-1),
+        jnp.stack([c20, c21, c22], axis=-1),
+    ], axis=-2)
+    return adj / det[..., None, None]
+
+
 def _make_plan(ids, num_segments: int) -> _SegPlan:
     idsx = jnp.where((ids >= 0) & (ids < num_segments), ids, num_segments)
     perm = jnp.argsort(idsx)
@@ -236,6 +258,11 @@ def ba_solve(
     plan_kf = _make_plan(p.e_kf, K)
     plan_mkf = _make_plan(p.m_kf, K)
     plan_mm = _make_plan(p.m_marker, M)
+    if not use_cg:
+        # dense-branch reduction plans (constant incidences — sorting these
+        # inside build_and_step would pay an argsort per LM iteration)
+        plan_kl = _make_plan(p.e_kf * Lp + p.e_pt, K * Lp)
+        plan_km = _make_plan(p.m_kf * M + p.m_marker, K * M)
 
     def build_and_step(state, lam):
         Rcw, tcw, points, Rwm, twm = state
@@ -257,7 +284,7 @@ def ba_solve(
         # damp + invert per point
         dpp = jnp.maximum(jnp.einsum("lii->li", Hpp), 1e-10)
         Hpp_d = Hpp + lam * diag_embed(dpp) + 1e-9 * jnp.eye(3)
-        Hpp_inv = jnp.linalg.inv(Hpp_d)
+        Hpp_inv = _inv3x3(Hpp_d)
         Hpp_inv = jnp.where(
             jnp.isfinite(Hpp_inv), Hpp_inv, jnp.zeros_like(Hpp_inv)
         )
@@ -403,9 +430,8 @@ def ba_solve(
             # one MXU contraction over the point axis (fine while K*L is
             # small — local BA windows)
             Yl = jnp.einsum("fij,fjk->fik", Wcp, Hpp_inv[p.e_pt])  # [E, 6, 3]
-            kl_ids = p.e_kf * L + p.e_pt
-            Wmat = segment_sum_sorted(Wcp, kl_ids, K * L).reshape(K, L, 6, 3)
-            Ymat = segment_sum_sorted(Yl, kl_ids, K * L).reshape(K, L, 6, 3)
+            Wmat = _seg_reduce(plan_kl, Wcp, K * L).reshape(K, L, 6, 3)
+            Ymat = _seg_reduce(plan_kl, Yl, K * L).reshape(K, L, 6, 3)
             Wmat = maybe_psum(Wmat)
             Ymat = maybe_psum(Ymat)
             S_cc = -jnp.einsum("alik,bljk->abij", Ymat, Wmat)  # [K, K, 6, 6]
@@ -419,9 +445,7 @@ def ba_solve(
             # camera-marker couplings (unaffected by point marginalization)
             Hcm_blocks = jnp.einsum("fei,f,fej->fij", Jc_m, w_m, Jm_m)
             Hcm_sum = maybe_psum(
-                segment_sum_sorted(
-                    Hcm_blocks, p.m_kf * M + p.m_marker, num_segments=K * M
-                ).reshape(K, M, 6, 6)
+                _seg_reduce(plan_km, Hcm_blocks, K * M).reshape(K, M, 6, 6)
             )
             S = S.at[:K, K:].add(Hcm_sum)
             S = S.at[K:, :K].add(
@@ -462,8 +486,17 @@ def ba_solve(
         Rwm_n, twm_n = se3_compose(dRm, dtm, Rwm, twm)
         return (Rn, tn, points + dp, Rwm_n, twm_n)
 
-    def lm_iter(it, carry):
-        state, lam, chi2_cur = carry
+    def lm_cond(carry):
+        _, _, _, it, stall = carry
+        # early exit after two consecutive stalled iterations: LM only
+        # accepts chi2-decreasing steps, so a stalled tail would return the
+        # same state the full budget would (same contract as pose_opt);
+        # the LM iteration is the dominant sequential cost of the mapping
+        # phase, so typical 3-5-iteration convergence halves it
+        return (it < iters) & (stall < 2)
+
+    def lm_iter(carry):
+        state, lam, chi2_cur, it, stall = carry
         new_state = build_and_step(state, lam)
         pp = p._replace(
             Rcw=new_state[0], tcw=new_state[1], points=new_state[2],
@@ -472,18 +505,21 @@ def ba_solve(
         chi2_new, _, _ = _total_chi2(pp, cam)
         chi2_new = maybe_psum(chi2_new)  # accept/reject must be global
         accept = chi2_new < chi2_cur
+        improved = chi2_new < chi2_cur * (1.0 - 1e-6)
         state = jax.tree_util.tree_map(
             lambda n, o: jnp.where(accept, n, o), new_state, state
         )
         lam = jnp.clip(jnp.where(accept, lam * 0.5, lam * 5.0), 1e-9, 1e5)
         chi2_cur = jnp.where(accept, chi2_new, chi2_cur)
-        return state, lam, chi2_cur
+        stall = jnp.where(improved, 0, stall + 1)
+        return state, lam, chi2_cur, it + 1, stall
 
     state0 = (p.Rcw, p.tcw, p.points, p.Rwm, p.twm)
     chi2_0, _, _ = _total_chi2(p, cam)
     chi2_0 = maybe_psum(chi2_0)
-    state, _, chi2 = jax.lax.fori_loop(
-        0, iters, lm_iter, (state0, jnp.float32(lam0), chi2_0)
+    state, _, chi2, _, _ = jax.lax.while_loop(
+        lm_cond, lm_iter,
+        (state0, jnp.float32(lam0), chi2_0, jnp.int32(0), jnp.int32(0)),
     )
     pp = p._replace(Rcw=state[0], tcw=state[1], points=state[2], Rwm=state[3], twm=state[4])
     chi2_final, c_e, c_m = _total_chi2(pp, cam)

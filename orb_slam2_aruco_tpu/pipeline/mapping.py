@@ -923,15 +923,16 @@ def cull_keyframes(state: MapState, keep_kf, cfg: SlamConfig, force=False):
     Rare-marker observers and the first keyframe stay protected."""
     K, N = state.kf_obs_point.shape
     L = state.L
-    from orb_slam2_aruco_tpu.optim.segsum import segment_sum_sorted
 
     obs = jnp.where(
         state.kf_kp_valid & state.kf_valid[:, None], state.kf_obs_point, -1
     )
-    # observers per point (scatter-free)
-    cnt = segment_sum_sorted(
-        jnp.ones((obs.size,), jnp.float32), obs.reshape(-1), L
-    ).astype(jnp.int32)
+    # observing KEYFRAMES per point from the maintained [L, K] table (the
+    # reference counts observations = keyframes, MapPoint::Observations();
+    # and no 300k-id segment sort per call)
+    cnt = jnp.sum(
+        (state.pt_obs_kf & state.kf_valid[None, :]).astype(jnp.int32), axis=1
+    )
     has_pt = obs >= 0
     redundant = has_pt & (cnt[jnp.clip(obs, 0, L - 1)] >= 4)  # self + 3 others
     n_pts = jnp.sum(has_pt.astype(jnp.float32), axis=1)
@@ -1199,27 +1200,16 @@ def fuse_duplicates(state: MapState, kf, cam: Camera, cfg: SlamConfig,
     # fuse only against the covisible neighborhood's points (the reference
     # fuses with 1st/2nd-ring covisible keyframes only, LocalMapping.cc:822):
     # fusing against the WHOLE map would silently merge revisited areas and
-    # suppress loop closure
-    from orb_slam2_aruco_tpu.optim.segsum import segment_sum_sorted
-
-    K = state.K
-    kf_obs_all = jnp.where(
-        state.kf_kp_valid & state.kf_valid[:, None], state.kf_obs_point, -1
-    )
+    # suppress loop closure. Reductions over the maintained [L, K] table —
+    # no segment sorts
+    inc = state.pt_obs_kf & state.kf_valid[None, :]          # [L, K]
     mine_set = jnp.zeros((L,), bool).at[my_slot].set(my_ok)
-    share = jnp.sum(
-        jnp.where(
-            kf_obs_all >= 0, mine_set[jnp.clip(kf_obs_all, 0, L - 1)], False
-        ),
-        axis=1,
-    )
+    share = jnp.dot(
+        mine_set.astype(jnp.float32), inc.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    )                                                        # [K]
     covis_kf = (share >= 1) & state.kf_valid
-    tgt_ids = jnp.where(
-        covis_kf[:, None] & (kf_obs_all >= 0), kf_obs_all, -1
-    ).reshape(-1)
-    tgt_mask = segment_sum_sorted(
-        jnp.ones_like(tgt_ids, dtype=jnp.float32), tgt_ids, L
-    ) > 0
+    tgt_mask = jnp.any(inc & covis_kf[None, :], axis=1)
     if not restrict_covisible:
         # loop-closure fusion (SearchAndFuse, LoopClosing.cc:1074-1100): the
         # whole map is a target so the two sides of the loop merge
@@ -1304,10 +1294,17 @@ MAX_DESC_OBS = 8  # descriptors per point considered for distinctiveness
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
-def distinctive_descriptors(state: MapState, cfg: SlamConfig):
+def distinctive_descriptors(state: MapState, cfg: SlamConfig, kf=None):
     """Per-point representative descriptor = the observed descriptor with
     minimum median Hamming distance to the point's other observations
     (MapPoint::ComputeDistinctiveDescriptors, reference src/MapPoint.cc:271).
+
+    `kf` (traced scalar, optional): restrict the recomputation to the points
+    observed by that keyframe — what one keyframe insert actually changes
+    (the reference recomputes per affected MapPoint, not over the map). The
+    pairwise-Hamming tensor then shrinks from [L, O, O] to [N, O, O]
+    (20000 -> ~1200 rows at the flagship config). Pass None after fusion /
+    loop correction, where the affected set is unbounded.
 
     TPU-shape formulation (no sequential pass over keyframes): a vmapped
     scatter builds the per-keyframe inverse map point->feature (first
@@ -1332,14 +1329,23 @@ def distinctive_descriptors(state: MapState, cfg: SlamConfig):
         ].min(jnp.where(obs_k >= 0, jnp.arange(N, dtype=jnp.int32), N))
 
     inv = jax.vmap(inv_row)(obs_all)                      # [K, L]
-    observes = (inv < N).astype(jnp.int32)                # [K, L]
+    if kf is None:
+        rows = None
+        invT = inv.T                                      # [L, K]
+        row_valid = state.pt_valid
+    else:
+        pts = jnp.where(state.kf_kp_valid[kf], state.kf_obs_point[kf], -1)
+        rows = jnp.clip(pts, 0, L - 1)                    # [N]
+        invT = inv[:, rows].T                             # [N, K]
+        row_valid = (pts >= 0) & state.pt_valid[rows]
+    observes = (invT < N).astype(jnp.int32)
     # first O observing keyframes per point (top_k is stable: equal values
     # keep ascending slot order, mirroring the old slot-order fill)
-    vals, kf_sel = jax.lax.top_k(observes.T, O)           # [L, O]
+    vals, kf_sel = jax.lax.top_k(observes, O)             # [rows, O]
     jv_sel = vals > 0
-    cnt = jnp.sum(jv_sel, axis=-1).astype(jnp.int32)      # [L]
-    feat = jnp.take_along_axis(inv.T, kf_sel, axis=1)     # [L, O]
-    desc = state.kf_desc[kf_sel, jnp.clip(feat, 0, N - 1)]  # [L, O, 8]
+    cnt = jnp.sum(jv_sel, axis=-1).astype(jnp.int32)      # [rows]
+    feat = jnp.take_along_axis(invT, kf_sel, axis=1)      # [rows, O]
+    desc = state.kf_desc[kf_sel, jnp.clip(feat, 0, N - 1)]  # [rows, O, 8]
     table = jnp.where(jv_sel[..., None], desc, jnp.uint32(0))
 
     x = jax.lax.population_count(table[:, :, None, :] ^ table[:, None, :, :])
@@ -1352,14 +1358,20 @@ def distinctive_descriptors(state: MapState, cfg: SlamConfig):
         srt, med_idx[:, None, None].repeat(O, axis=1), axis=-1
     )[..., 0]                                      # [L, O]
     med = jnp.where(jv, med, 10**9)
-    best = jnp.argmin(med, axis=-1)                # [L]
+    best = jnp.argmin(med, axis=-1)                # [rows]
     best_desc = jnp.take_along_axis(
         table, best[:, None, None].repeat(8, axis=-1), axis=1
     )[:, 0, :]
-    use = (cnt > 0) & state.pt_valid
-    return state._replace(
-        pt_desc=jnp.where(use[:, None], best_desc, state.pt_desc)
-    )
+    use = (cnt > 0) & row_valid
+    if rows is None:
+        return state._replace(
+            pt_desc=jnp.where(use[:, None], best_desc, state.pt_desc)
+        )
+    # scatter only the valid rows (invalid slots route out of bounds and
+    # drop — duplicate in-bounds writers would race with .set otherwise)
+    rows_s = jnp.where(use, rows, L)
+    new_desc = state.pt_desc.at[rows_s].set(best_desc, mode="drop")
+    return state._replace(pt_desc=new_desc)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
@@ -1368,23 +1380,17 @@ def update_point_stats(state: MapState, cfg: SlamConfig):
     current observation table (MapPoint::UpdateNormalAndDepth, reference
     src/MapPoint.cc:359): normal = mean unit direction from observing keyframe
     centers; max_dist from the anchor observation's octave."""
-    from orb_slam2_aruco_tpu.optim.segsum import segment_sum_sorted
-
-    K, N = state.kf_obs_point.shape
     L = state.L
-    obs = jnp.where(
-        state.kf_kp_valid & state.kf_valid[:, None], state.kf_obs_point, -1
-    ).reshape(-1)
-    kf_of = jnp.broadcast_to(jnp.arange(K)[:, None], (K, N)).reshape(-1)
-    # camera centers
+    # dense masked mean over the maintained [L, K] observation table: the
+    # [L, K, 3] direction tensor is pure bandwidth (~ms), where the previous
+    # segment-sum formulation sorted K*N observation ids per call
+    m = (state.pt_obs_kf & state.kf_valid[None, :]).astype(jnp.float32)
     Rwc = jnp.swapaxes(state.kf_Rcw, -1, -2)
     centers = -jnp.einsum("kij,kj->ki", Rwc, state.kf_tcw)     # [K, 3]
-    pt_of_obs = jnp.clip(obs, 0, L - 1)
-    d = state.pt_xyz[pt_of_obs] - centers[kf_of]               # [K*N, 3]
+    d = state.pt_xyz[:, None, :] - centers[None, :, :]         # [L, K, 3]
     d = d / jnp.maximum(jnp.linalg.norm(d, axis=-1, keepdims=True), 1e-9)
-    d = jnp.where((obs >= 0)[:, None], d, 0.0)
-    sum_d = segment_sum_sorted(d, obs, L)
-    cnt = segment_sum_sorted((obs >= 0).astype(jnp.float32), obs, L)
+    sum_d = jnp.einsum("lkj,lk->lj", d, m)
+    cnt = jnp.sum(m, axis=1)
     normal = sum_d / jnp.maximum(
         jnp.linalg.norm(sum_d, axis=-1, keepdims=True), 1e-9
     )

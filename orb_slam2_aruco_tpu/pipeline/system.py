@@ -85,6 +85,13 @@ class SlamSystem:
         # thread becomes a few LM iterations amortized into each frame step)
         self.pending_gba_iters = 0
         self.pending_gba_fuse = False
+        # GBA problem shapes, bucketed to the LIVE map size at the moment a
+        # loop closes (power-of-two padding): a 20-keyframe map then runs
+        # its post-loop slices as a K=32 dense-Schur program (~few ms/iter)
+        # instead of the full-capacity K=256 PCG program (~77 ms/iter) —
+        # fixed bucket shapes keep XLA recompiles rare while the padded
+        # FLOPs track the real problem instead of the worst case
+        self._gba_shape = None           # (max_cams, max_pts) or None
         # ---- pipelined SLAM-mode state (tracking.pipeline_depth > 0) ----
         # frames whose tracking is dispatched but whose control vector has
         # not been read back yet (the reference's analogue: the tracking
@@ -776,7 +783,7 @@ class SlamSystem:
             self.map, k_dev, self.cam, cfg
         )
         self.map = mapping.update_point_stats(self.map, cfg)
-        self.map = mapping.distinctive_descriptors(self.map, cfg)
+        self.map = mapping.distinctive_descriptors(self.map, cfg, kf=k_dev)
         # marker plane measurement + possible one-shot scale correction
         self.map, s_corr = mapping.aruco_plane_update(
             self.map, k_dev, self.cam, cfg
@@ -922,6 +929,21 @@ class SlamSystem:
             # (LoopClosing.cc:660-676)
             self.pending_gba_iters = cfg.optim.post_loop_gba_iters
             self.pending_gba_fuse = True
+            # size the GBA program to the LIVE map (one scalar readback at
+            # this already host-sequential moment): power-of-two buckets
+            # with headroom for keyframes/points inserted while the slices
+            # drain over the next frames
+            n_pts_live = int(jnp.sum(self.map.pt_valid))
+            kb = 8
+            while kb < min(self.n_keyframes + 8, cfg.map.max_keyframes):
+                kb *= 2
+            kb = min(kb, cfg.map.max_keyframes)
+            pb = 1024
+            while pb < min(int(n_pts_live * 1.25) + 256,
+                           cfg.map.max_points):
+                pb *= 2
+            pb = min(pb, 8192, cfg.map.max_points)
+            self._gba_shape = (kb, pb)
             # one stabilization slice INLINE: the very next frame
             # must track against a self-consistent map (the rest of
             # the iterations amortize across subsequent frames)
@@ -945,6 +967,11 @@ class SlamSystem:
         ref = jnp.asarray(self.ref_kf)
         R_ref0 = self.map.kf_Rcw[ref]
         t_ref0 = self.map.kf_tcw[ref]
+        if self._gba_shape is not None:
+            gba_cams, gba_pts = self._gba_shape
+        else:
+            gba_cams = cfg.map.max_keyframes
+            gba_pts = min(8192, cfg.map.max_points)
         if cfg.optim.distributed_gba and len(jax.devices()) > 1:
             from orb_slam2_aruco_tpu.parallel import dist_ba
 
@@ -953,15 +980,13 @@ class SlamSystem:
             self.map, _ = mapping.bundle_adjust_distributed(
                 self.map, jnp.asarray(self.last_kf_slot), self.cam, cfg,
                 self._gba_mesh,
-                max_cams=cfg.map.max_keyframes,
-                max_pts=min(8192, cfg.map.max_points),
+                max_cams=gba_cams, max_pts=gba_pts,
                 iters=cfg.optim.gba_slice_iters, window_all=True,
             )
         else:
             self.map, _ = mapping.bundle_adjust(
                 self.map, jnp.asarray(self.last_kf_slot), self.cam, cfg,
-                max_cams=cfg.map.max_keyframes,
-                max_pts=min(8192, cfg.map.max_points),
+                max_cams=gba_cams, max_pts=gba_pts,
                 iters=cfg.optim.gba_slice_iters, window_all=True,
             )
         self.pending_gba_iters -= cfg.optim.gba_slice_iters
@@ -1101,6 +1126,7 @@ class SlamSystem:
         self.bow_consistency.reset()
         self.pending_gba_iters = 0
         self.pending_gba_fuse = False
+        self._gba_shape = None
 
     def get_trajectory(self):
         self.flush_pipeline()

@@ -202,7 +202,7 @@ def local_point_mask(state: MapState, obs_point, max_local_kfs: int):
 
 
 def _optimize(state, frame, slots, Rcw0, tcw0, obs_point, cam, cfg: SlamConfig,
-              old=None):
+              old=None, rounds=None, iters_per_round=None):
     pts, pvalid = _point_world_arrays(state, obs_point)
     inv_s2 = scale_sigma2(cfg.orb.num_levels, cfg.orb.scale_factor)[
         frame.kp_octave
@@ -216,8 +216,9 @@ def _optimize(state, frame, slots, Rcw0, tcw0, obs_point, cam, cfg: SlamConfig,
         marker_weight=cfg.aruco.edge_weight,
         chi2_th=cfg.optim.chi2_mono,
         huber_delta=cfg.optim.huber_delta,
-        rounds=cfg.optim.pose_rounds,
-        iters_per_round=cfg.optim.pose_iters_per_round,
+        rounds=cfg.optim.pose_rounds if rounds is None else rounds,
+        iters_per_round=(cfg.optim.pose_iters_per_round
+                         if iters_per_round is None else iters_per_round),
     )
     obs_out = jnp.where(res.inliers, obs_point, -1)
     return res, obs_out
@@ -234,6 +235,9 @@ def track_frame(
     cfg: SlamConfig,
     search_radius: float,
     old=None,
+    seed_budget: bool = False,   # trimmed LM (2x6): the two-stage chunk's
+                                 # stage-1 pose is only a SEED for the
+                                 # batched local-map refinement
 ) -> TrackResult:
     """Project last frame's map points with the seed pose and window-match
     (TrackWithMotionModel / TrackByAruco body). The rotation-consistency
@@ -267,8 +271,11 @@ def track_frame(
     src_pts = jnp.where(m.valid, last_obs, -1)
     obs_point = jnp.zeros((N + 1,), jnp.int32).at[:].set(-1).at[tgt].max(src_pts)[:N]
     n_matches = jnp.sum(m.valid.astype(jnp.int32))
-    res, obs_out = _optimize(state, frame, slots, Rcw0, tcw0, obs_point, cam,
-                             cfg, old)
+    res, obs_out = _optimize(
+        state, frame, slots, Rcw0, tcw0, obs_point, cam, cfg, old,
+        rounds=2 if seed_budget else None,
+        iters_per_round=6 if seed_budget else None,
+    )
     return TrackResult(res.Rcw, res.tcw, obs_out, res.n_inliers, n_matches)
 
 
@@ -502,6 +509,75 @@ def track_batch(
     Returns (ctrls [B, 17], final carry)."""
     frames = jax.vmap(lambda im: make_frame(im, cam, cfg))(imgs)
 
+    if cfg.tracking.loc_two_stage:
+        # ---- two-stage chunk: sequential seeds, batched refinement ------
+        # Only the cheap motion-model cascade is inherently sequential
+        # (frame i+1's search window comes from frame i's pose); the
+        # expensive local-map matching + LM refine of EVERY frame then runs
+        # as one wide vmapped batch that actually fills the chip. Frame
+        # i+1 seeds from frame i's STAGE-1 pose — in steady-state tracking
+        # that differs from the refined pose by well under the search
+        # radius, and each frame's final pose is still its own full
+        # local-map optimization.
+        def seed_step(carry, frame):
+            (Rl, tl, vR, vt, hv, luv, ldesc, lobs, lval, loct, lang) = carry
+            Rp, tp = se3_compose(vR, vt, Rl, tl)
+            R_pred = jnp.where(hv, Rp, Rl)
+            t_pred = jnp.where(hv, tp, tl)
+            tr, slots, old, ok_a, need_ref = _cascade_seed(
+                state, frame, R_pred, t_pred, Rl, tl,
+                luv, ldesc, lobs, lval, loct, lang, ref_kf, cam, cfg,
+                seed_budget=True,
+            )
+            Rl_inv, tl_inv = se3_inverse(Rl, tl)
+            vR2, vt2 = se3_compose(tr.Rcw, tr.tcw, Rl_inv, tl_inv)
+            carry2 = (
+                tr.Rcw, tr.tcw, vR2, vt2, jnp.asarray(True),
+                frame.kp_uv, frame.desc, tr.obs_point, frame.kp_valid,
+                frame.kp_octave, frame.kp_angle,
+            )
+            return carry2, (tr, slots, old, ok_a, need_ref)
+
+        carry0s = (
+            R_last, t_last, vel_R, vel_t, has_vel,
+            last_uv, last_desc, last_obs, last_valid, last_octave,
+            last_angle,
+        )
+        _, (trs, slots_b, old_b, oka_b, needref_b) = jax.lax.scan(
+            seed_step, carry0s, frames
+        )
+
+        outs = jax.vmap(
+            lambda frame, tr, slots, old, ok_a, need_ref: _cascade_refine(
+                state, frame, tr, slots, old, ok_a, need_ref, ref_kf, cam,
+                cfg,
+            )
+        )(frames, trs, slots_b, old_b, oka_b, needref_b)
+
+        B = imgs.shape[0]
+        # merge per-frame visible/found deltas (each frame counted against
+        # the same input stats; localization mode never culls, so additive
+        # merging preserves the totals)
+        vis = state.pt_visible + jnp.sum(
+            outs.pt_visible - state.pt_visible[None], axis=0
+        )
+        found = state.pt_found + jnp.sum(
+            outs.pt_found - state.pt_found[None], axis=0
+        )
+        lastf = jax.tree_util.tree_map(lambda a: a[B - 1], frames)
+        R_prev = outs.Rcw[B - 2] if B >= 2 else R_last
+        t_prev = outs.tcw[B - 2] if B >= 2 else t_last
+        Rp_inv, tp_inv = se3_inverse(R_prev, t_prev)
+        vR2, vt2 = se3_compose(outs.Rcw[B - 1], outs.tcw[B - 1],
+                               Rp_inv, tp_inv)
+        ok_last = outs.n_inliers[B - 1] >= cfg.tracking.min_matches_local_map
+        carry = (
+            outs.Rcw[B - 1], outs.tcw[B - 1], vR2, vt2, ok_last,
+            lastf.kp_uv, lastf.desc, outs.obs_point[B - 1], lastf.kp_valid,
+            lastf.kp_octave, lastf.kp_angle, vis, found,
+        )
+        return outs.ctrl, carry
+
     def step(carry, frame):
         (Rl, tl, vR, vt, hv, luv, ldesc, lobs, lval, loct, lang, vis,
          found) = carry
@@ -532,21 +608,24 @@ def track_batch(
     return ctrls, carry
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
-def track_full(
+def _cascade_seed(
     state: MapState,
     frame: Frame,
-    R_pred, t_pred,          # motion-model seed
-    R_last, t_last,          # last pose (fallback seed)
+    R_pred, t_pred,
+    R_last, t_last,
     last_uv, last_desc, last_obs, last_valid, last_octave, last_angle,
     ref_kf,
     cam: Camera,
     cfg: SlamConfig,
-) -> FullTrackResult:
-    """The whole per-frame OK-state cascade as ONE jitted step — a single
-    device dispatch per frame instead of five (the reference's Track(),
-    src/Tracking.cc:192-492, minus keyframe creation which only runs on
-    insertion). Branching uses lax.cond on traced scalars."""
+    seed_budget: bool = False,
+):
+    """First half of the per-frame cascade — marker seed + motion-model
+    tracking with widened-window and reference-KF fallbacks (the reference's
+    IsArucoWellTrack/TrackByAruco/TrackWithMotionModel/TrackReferenceKeyFrame
+    ladder, src/Tracking.cc:233-258) — WITHOUT the local-map refinement.
+    Split out so track_batch can run this cheap sequential part as a scan
+    and the expensive local-map half batched across the chunk.
+    Returns (tr, slots, old, ok_a, need_ref)."""
     slots = bind_markers(state, frame)
     old = old_marker_flags(state, slots, cfg.loop.min_kfs_between_loops)
     ok_a, R_a, t_a, _ = aruco_pose_candidate(state, frame, slots, cam, cfg,
@@ -558,6 +637,7 @@ def track_full(
         state, frame, slots, R0, t0,
         last_uv, last_desc, last_obs, last_valid, last_octave, last_angle,
         cam, cfg, search_radius=cfg.matcher.search_radius_motion, old=old,
+        seed_budget=seed_budget,
     )
 
     # widened-window retry (TrackWithMotionModel, Tracking.cc:1010-1015):
@@ -571,7 +651,7 @@ def track_full(
             state, frame, slots, R0, t0,
             last_uv, last_desc, last_obs, last_valid, last_octave, last_angle,
             cam, cfg, search_radius=2.0 * cfg.matcher.search_radius_motion,
-            old=old,
+            old=old, seed_budget=seed_budget,
         )
 
     tr1 = jax.lax.cond(need_wide, wide_branch, lambda _: tr1, None)
@@ -589,7 +669,46 @@ def track_full(
         return tr1
 
     tr = jax.lax.cond(need_ref, ref_branch, keep_branch, None)
+    return tr, slots, old, ok_a, need_ref
 
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def track_full(
+    state: MapState,
+    frame: Frame,
+    R_pred, t_pred,          # motion-model seed
+    R_last, t_last,          # last pose (fallback seed)
+    last_uv, last_desc, last_obs, last_valid, last_octave, last_angle,
+    ref_kf,
+    cam: Camera,
+    cfg: SlamConfig,
+) -> FullTrackResult:
+    """The whole per-frame OK-state cascade as ONE jitted step — a single
+    device dispatch per frame instead of five (the reference's Track(),
+    src/Tracking.cc:192-492, minus keyframe creation which only runs on
+    insertion). Branching uses lax.cond on traced scalars."""
+    tr, slots, old, ok_a, need_ref = _cascade_seed(
+        state, frame, R_pred, t_pred, R_last, t_last,
+        last_uv, last_desc, last_obs, last_valid, last_octave, last_angle,
+        ref_kf, cam, cfg,
+    )
+    return _cascade_refine(state, frame, tr, slots, old, ok_a, need_ref,
+                           ref_kf, cam, cfg)
+
+
+def _cascade_refine(
+    state: MapState,
+    frame: Frame,
+    tr,
+    slots, old, ok_a, need_ref,
+    ref_kf,
+    cam: Camera,
+    cfg: SlamConfig,
+) -> FullTrackResult:
+    """Second half of the per-frame cascade: local-map search + pose refine
+    (TrackLocalMap, src/Tracking.cc:1242-1293) and the NeedNewKeyFrame
+    inputs. Has no dependence on neighboring frames' results, so
+    track_batch can vmap it across a whole localization chunk."""
     pt_local, best_kf = local_point_mask(
         state, tr.obs_point, cfg.tracking.max_local_keyframes
     )

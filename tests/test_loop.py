@@ -137,6 +137,11 @@ def build_drifted_map(rng, n_kf=14, n_pts=160, drift_per_kf=0.015):
             kf_obs_point=state.kf_obs_point.at[k, :n_pts].set(
                 jnp.where(vis, jnp.arange(n_pts) + slot_base, -1)
             ),
+            # keep the [L, K] table in sync — the live pipeline maintains
+            # both sides, and covisibility reads this one
+            pt_obs_kf=state.pt_obs_kf.at[
+                jnp.where(vis, jnp.arange(n_pts) + slot_base, state.L), k
+            ].set(True, mode="drop"),
         )
         # marker observation in KF0 and last KF (true projections)
         if k in (0, n_kf - 1):

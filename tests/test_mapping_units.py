@@ -39,6 +39,8 @@ def test_fuse_duplicates_merges_and_remaps(rng):
         kf_kp_valid=state.kf_kp_valid.at[1, :3].set(True).at[0, :2].set(True),
         kf_obs_point=state.kf_obs_point.at[1, 0].set(1).at[1, 1].set(2)
         .at[0, 0].set(0).at[0, 1].set(2),
+        pt_obs_kf=state.pt_obs_kf.at[1, 1].set(True).at[2, 1].set(True)
+        .at[0, 0].set(True).at[2, 0].set(True),
     )
     out, n = mapping.fuse_duplicates(state, jnp.asarray(1), cam, cfg)
     assert int(n) == 1
@@ -66,6 +68,7 @@ def test_cull_keyframes_redundancy_and_marker_protection(rng):
             kf_obs_point=state.kf_obs_point.at[k, :n_pts].set(
                 jnp.arange(n_pts)
             ),
+            pt_obs_kf=state.pt_obs_kf.at[:n_pts, k].set(True),
         )
     out, victim = mapping.cull_keyframes(state, jnp.asarray(4), cfg)
     v = int(victim)
@@ -91,6 +94,7 @@ def test_update_point_stats_normals(rng):
         kf_valid=state.kf_valid.at[0].set(True),
         kf_kp_valid=state.kf_kp_valid.at[0, 0].set(True),
         kf_obs_point=state.kf_obs_point.at[0, 0].set(0),
+        pt_obs_kf=state.pt_obs_kf.at[0, 0].set(True),
         kf_tcw=state.kf_tcw.at[0].set(jnp.asarray([0.0, 0.0, 1.0])),
         # Rcw = I, tcw = (0,0,1) -> center at (0,0,-1); dir to point = +z
     )
@@ -176,6 +180,36 @@ def test_distinctive_descriptors_min_median_hamming(rng):
         np.testing.assert_array_equal(np.asarray(out.pt_desc[p]), expect)
     # untouched invalid point keeps its (zero) descriptor
     np.testing.assert_array_equal(np.asarray(out.pt_desc[n_pts + 1]), 0)
+
+
+def test_distinctive_descriptors_restricted_matches_full(rng):
+    """The per-keyframe restricted mode (what a keyframe insert uses) must
+    reproduce the full-pool recomputation on the keyframe's own points and
+    leave every other point's descriptor untouched."""
+    cfg = small_cfg()
+    state = empty_map(cfg)
+    n_kf, n_pts = 5, 6
+    descs = rng.integers(0, 2**32, (n_kf, n_pts, 8), dtype=np.uint32)
+    state = state._replace(
+        pt_valid=state.pt_valid.at[:n_pts].set(True),
+        kf_valid=state.kf_valid.at[:n_kf].set(True),
+    )
+    for k in range(n_kf):
+        m = n_pts - k
+        state = state._replace(
+            kf_kp_valid=state.kf_kp_valid.at[k, :m].set(True),
+            kf_obs_point=state.kf_obs_point.at[k, :m].set(jnp.arange(m)),
+            kf_desc=state.kf_desc.at[k, :n_pts].set(jnp.asarray(descs[k])),
+        )
+    full = mapping.distinctive_descriptors(state, cfg)
+    k = 1                                   # observes points 0..n_pts-2
+    rest = mapping.distinctive_descriptors(state, cfg, kf=jnp.asarray(k))
+    m = n_pts - k
+    np.testing.assert_array_equal(np.asarray(rest.pt_desc[:m]),
+                                  np.asarray(full.pt_desc[:m]))
+    # points NOT observed by keyframe 1 keep their previous (zero) value
+    np.testing.assert_array_equal(np.asarray(rest.pt_desc[m:]),
+                                  np.asarray(state.pt_desc[m:]))
 
 
 def test_distinctive_descriptors_same_kf_duplicates(rng):

@@ -213,22 +213,40 @@ def test_full_system_loop_closure():
         for x in xs
     ]
     imgs = [synthetic.render_view(world, cfg.camera, R, t) for R, t in poses]
-    # photometric noise over the marker-free middle stretch: matching noise
-    # accumulates into real odometry drift, so the revisit re-observes the
-    # old markers from a NON-covisible keyframe — the actual condition for a
-    # loop. (A noise-free synthetic run simply re-tracks the same points on
-    # the way back: one covisible chain, correctly NO loop.) One fixed seed,
-    # no retry: with the covisibility spanning tree in the essential graph
-    # the corrected residual is an order of magnitude under the gate, so the
-    # assertion no longer sits on a knife edge.
-    noisy = [img.copy() for img in imgs]
-    rng = np.random.default_rng(7)
-    for j in range(12, 48):
-        noisy[j] = np.clip(
-            noisy[j] + rng.normal(0, 12, noisy[j].shape), 0, 255
-        )
+    # DETERMINISTIC odometry drift over the marker-free middle stretch: a
+    # center-zoom warp ramping 1.0 -> 1.07 -> 1.0 makes tracking absorb
+    # phantom forward/backward motion, so the revisit re-observes the old
+    # markers from a NON-covisible keyframe — the actual condition for a
+    # loop. (A drift-free synthetic run simply re-tracks the same points on
+    # the way back: one covisible chain, correctly NO loop. Photometric
+    # noise used to produce the drift here, but it stopped drifting far
+    # enough once triangulation/BA got more accurate — the warp injects a
+    # controlled, numerics-independent error instead.) Both endpoints see
+    # UNWARPED frames, so the start<->end ground-truth check below is exact.
+    def center_zoom(img, s):
+        h, w = img.shape
+        yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
+        cx, cy = (w - 1) / 2.0, (h - 1) / 2.0
+        xs_ = (xx - cx) / s + cx
+        ys_ = (yy - cy) / s + cy
+        x0 = np.clip(np.floor(xs_).astype(int), 0, w - 2)
+        y0 = np.clip(np.floor(ys_).astype(int), 0, h - 2)
+        fx = np.clip(xs_ - x0, 0, 1)
+        fy = np.clip(ys_ - y0, 0, 1)
+        return (img[y0, x0] * (1 - fx) * (1 - fy)
+                + img[y0, x0 + 1] * fx * (1 - fy)
+                + img[y0 + 1, x0] * (1 - fx) * fy
+                + img[y0 + 1, x0 + 1] * fx * fy)
+
+    drifted = []
+    for j, img in enumerate(imgs):
+        if 12 <= j < 48:
+            ramp = min(j - 12, 47 - j, 10) / 10.0
+            drifted.append(center_zoom(img, 1.0 + 0.07 * ramp))
+        else:
+            drifted.append(img.copy())
     slam = SlamSystem(cfg)
-    for i, img in enumerate(noisy):
+    for i, img in enumerate(drifted):
         slam.track_monocular(img, ts=i / 30.0)
     assert slam.state is TrackingState.OK
     # the revisit must produce a loop closure (marker ids from the start are
@@ -252,36 +270,9 @@ def test_full_system_loop_closure():
     # measured progression: 0.91 (no post-loop fusion) -> 0.72 (SearchAnd-
     # Fuse) -> 0.63 (iterated fuse+GBA, insertion-order chain) -> 0.03-0.05
     # (covisibility SPANNING TREE in the essential graph: chain edges no
-    # longer inject drifted temporally-adjacent measurements on revisits)
+    # longer inject drifted temporally-adjacent measurements on revisits);
+    # 0.003 measured under the deterministic zoom-drift scenario
     assert err < 0.25, (err, rel_est, rel_gt)
-
-
-def test_batch_localization_matches_per_frame(sequence):
-    """track_monocular_batch (lax.scan chunk) must reproduce the per-frame
-    localization path: same poses, same map counters, no keyframes added."""
-    world, poses, imgs, cfg = sequence
-    slam = SlamSystem(cfg)
-    for i, img in enumerate(imgs):
-        slam.track_monocular(img, ts=i / 30.0)
-    assert slam.state is TrackingState.OK
-
-    import copy
-
-    slam.activate_localization_mode()
-    ref = copy.copy(slam)   # shallow: map/pose arrays are immutable pytrees
-    ref.trajectory = list(slam.trajectory)
-    ref.stats = dict(slam.stats)
-
-    per_frame = [ref.track_monocular(im, ts=0.0) for im in imgs[:8]]
-    batched = slam.track_monocular_batch(imgs[:8], [0.0] * 8)
-    assert len(batched) == 8
-    for p, b in zip(per_frame, batched):
-        assert p is not None and b is not None
-        np.testing.assert_allclose(np.asarray(p[0]), np.asarray(b[0]),
-                                   atol=1e-3)
-        np.testing.assert_allclose(np.asarray(p[1]), np.asarray(b[1]),
-                                   atol=5e-3)
-    assert slam.n_keyframes == ref.n_keyframes
 
 
 def test_auto_reset_when_lost_early(sequence):
@@ -332,46 +323,6 @@ def test_reloc_rejects_weak_candidates(sequence):
     # a real revisit frame still relocalizes
     out = slam.track_monocular(imgs[10], ts=3.0)
     assert slam.state is TrackingState.OK and out is not None
-
-
-def test_localize_stream_matches_per_frame(sequence):
-    """The pipelined localize_stream (speculative chunk dispatch) must
-    reproduce the per-frame localization results, and must rewind correctly
-    when a chunk contains lost frames (blackout mid-stream)."""
-    world, poses, imgs, cfg = sequence
-    slam = SlamSystem(cfg)
-    for i, img in enumerate(imgs):
-        slam.track_monocular(img, ts=i / 30.0)
-    assert slam.state is TrackingState.OK
-
-    import copy
-    slam.activate_localization_mode()
-    ref = copy.copy(slam)
-    ref.trajectory = list(slam.trajectory)
-    ref.stats = dict(slam.stats)
-
-    # clean stream: equivalence with per-frame results
-    per_frame = [ref.track_monocular(im, ts=0.0) for im in imgs[:12]]
-    out = list(slam.localize_stream(((im, 0.0) for im in imgs[:12]), chunk=4))
-    assert len(out) == 12
-    for (fid, ts, p), q in zip(out, per_frame):
-        assert p is not None and q is not None
-        np.testing.assert_allclose(np.asarray(p[0]), np.asarray(q[0]),
-                                   atol=1e-3)
-        np.testing.assert_allclose(np.asarray(p[1]), np.asarray(q[1]),
-                                   atol=5e-3)
-
-    # blackout mid-stream: the speculative chunk must be discarded and the
-    # stream must recover through relocalization
-    black = np.zeros_like(imgs[0])
-    seq2 = [imgs[2], imgs[3], black, black, imgs[4], imgs[5], imgs[6],
-            imgs[7], imgs[8], imgs[9]]
-    out2 = list(slam.localize_stream(((im, 0.0) for im in seq2), chunk=3))
-    assert len(out2) == len(seq2)
-    n_ok = sum(p is not None for _, _, p in out2)
-    assert n_ok >= len(seq2) - 4, n_ok          # blacks + <=2 reloc frames
-    assert out2[-1][2] is not None              # recovered by the end
-    assert slam.state is TrackingState.OK
 
 
 def test_in_place_rotation_tracking():
@@ -472,67 +423,3 @@ def test_capacity_soak_slot_recycling():
     assert all(r.state is TrackingState.OK for r in tail)
 
 
-def test_pipelined_slam_tracks_and_matches_sync(sequence):
-    """SLAM-mode pipelining (pipeline_depth=2: control readbacks deferred,
-    keyframe decisions lag two frames, mapping phase fully async) must
-    produce a trajectory of the same quality as the synchronous path —
-    exact equality is impossible (frames k+1..k+2 track against the
-    pre-insert map, like the reference's tracking running ahead of
-    LocalMapping), so both are held to the same ATE bar."""
-    import dataclasses
-
-    world, poses, imgs, cfg = sequence
-    cfg2 = cfg.replace(
-        tracking=dataclasses.replace(cfg.tracking, pipeline_depth=2)
-    )
-    s1 = SlamSystem(cfg2)
-    for i, img in enumerate(imgs):
-        s1.track_monocular(img, ts=i / 30.0)
-    s1.flush()
-    assert s1.state is TrackingState.OK
-    assert not s1._pending
-    assert s1.n_keyframes >= 2
-    recs = [r for r in s1.get_trajectory() if r.state is TrackingState.OK]
-    assert len(recs) >= len(imgs) - 6
-    est_c = trajectory.camera_centers([r.Rcw for r in recs],
-                                      [r.tcw for r in recs])
-    gt = [poses[r.frame_id] for r in recs]
-    gt_c = trajectory.camera_centers([g[0] for g in gt], [g[1] for g in gt])
-    ate = trajectory.ate_rmse(est_c, gt_c, align=True, with_scale=False)
-    assert ate < 0.03, ate
-    # host slot mirror consistent with the device map
-    np.testing.assert_array_equal(
-        s1._kf_valid_host, np.asarray(s1.map.kf_valid)
-    )
-    assert s1.n_keyframes == int(s1.map.num_keyframes())
-
-
-def test_pipelined_lost_rewind_and_recovery(sequence):
-    """A blackout discovered `depth` frames late must rewind the speculative
-    frames and recover through relocalization, exactly like the synchronous
-    path does."""
-    import dataclasses
-
-    world, poses, imgs, cfg = sequence
-    cfg2 = cfg.replace(
-        tracking=dataclasses.replace(cfg.tracking, pipeline_depth=2,
-                                     reset_if_lost_with_kfs_leq=0)
-    )
-    slam = SlamSystem(cfg2)
-    for i, img in enumerate(imgs[:10]):
-        slam.track_monocular(img, ts=i / 30.0)
-    black = np.zeros_like(imgs[0])
-    for j in range(3):
-        slam.track_monocular(black, ts=(10 + j) / 30.0)
-    # resume with real frames -> marker relocalization recovers
-    for j, img in enumerate(imgs[10:14]):
-        slam.track_monocular(img, ts=(13 + j) / 30.0)
-    slam.flush()
-    assert slam.state is TrackingState.OK
-    assert slam.stats["reloc"] >= 1
-    # trajectory records cover every frame exactly once, in order
-    fids = [r.frame_id for r in slam.get_trajectory()]
-    assert fids == sorted(fids) and len(set(fids)) == len(fids)
-    assert len(fids) == 17
-    lost = [r for r in slam.trajectory if r.state is TrackingState.LOST]
-    assert len(lost) >= 2          # the blacked-out frames

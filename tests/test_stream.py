@@ -1,0 +1,211 @@
+"""Localization serving and pipelined-SLAM streaming tests, split out of
+test_pipeline.py: the suite compiles hundreds of XLA:CPU programs, and per-
+module cache clearing (tests/conftest.py) only bounds compiler memory if no
+single module grows unboundedly."""
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from orb_slam2_aruco_tpu.config import CameraConfig, SlamConfig
+from orb_slam2_aruco_tpu.io import synthetic
+from orb_slam2_aruco_tpu.pipeline.system import SlamSystem, TrackingState
+
+from test_pipeline import small_config
+
+
+@pytest.fixture(scope="module")
+def sequence():
+    world = synthetic.build_world(
+        [3, 17, 42, 99, 7, 23], px_per_m=700.0, spacing=0.45, grid_cols=3
+    )
+    n = 20
+    poses = []
+    for i in range(n):
+        x = 0.35 + 0.45 * i / n
+        yaw = 0.12 * np.sin(2 * np.pi * i / n)
+        poses.append(
+            synthetic.look_at_plane_pose((x, 0.22), 1.3, yaw=yaw, pitch=0.05)
+        )
+    cfg = small_config()
+    imgs = [
+        synthetic.render_view(world, cfg.camera, R, t) for R, t in poses
+    ]
+    return world, poses, imgs, cfg
+
+
+def test_batch_localization_matches_per_frame(sequence):
+    """track_monocular_batch (lax.scan chunk) must reproduce the per-frame
+    localization path: same poses, same map counters, no keyframes added."""
+    world, poses, imgs, cfg = sequence
+    slam = SlamSystem(cfg)
+    for i, img in enumerate(imgs):
+        slam.track_monocular(img, ts=i / 30.0)
+    assert slam.state is TrackingState.OK
+
+    import copy
+    import dataclasses as _dc
+
+    slam.activate_localization_mode()
+    # strict equality needs the reference-ordered sequential chunk (the
+    # default two-stage chunk seeds each frame from its predecessor's
+    # stage-1 pose — numerically close, tested separately)
+    slam.cfg = slam.cfg.replace(
+        tracking=_dc.replace(slam.cfg.tracking, loc_two_stage=False))
+    ref = copy.copy(slam)   # shallow: map/pose arrays are immutable pytrees
+    ref.trajectory = list(slam.trajectory)
+    ref.stats = dict(slam.stats)
+
+    per_frame = [ref.track_monocular(im, ts=0.0) for im in imgs[:8]]
+    batched = slam.track_monocular_batch(imgs[:8], [0.0] * 8)
+    assert len(batched) == 8
+    for p, b in zip(per_frame, batched):
+        assert p is not None and b is not None
+        np.testing.assert_allclose(np.asarray(p[0]), np.asarray(b[0]),
+                                   atol=1e-3)
+        np.testing.assert_allclose(np.asarray(p[1]), np.asarray(b[1]),
+                                   atol=5e-3)
+    assert slam.n_keyframes == ref.n_keyframes
+
+
+def test_localize_stream_matches_per_frame(sequence):
+    """The pipelined localize_stream (speculative chunk dispatch) must
+    reproduce the per-frame localization results, and must rewind correctly
+    when a chunk contains lost frames (blackout mid-stream)."""
+    world, poses, imgs, cfg = sequence
+    slam = SlamSystem(cfg)
+    for i, img in enumerate(imgs):
+        slam.track_monocular(img, ts=i / 30.0)
+    assert slam.state is TrackingState.OK
+
+    import copy
+    import dataclasses as _dc
+    slam.activate_localization_mode()
+    slam.cfg = slam.cfg.replace(
+        tracking=_dc.replace(slam.cfg.tracking, loc_two_stage=False))
+    ref = copy.copy(slam)
+    ref.trajectory = list(slam.trajectory)
+    ref.stats = dict(slam.stats)
+
+    # clean stream: equivalence with per-frame results
+    per_frame = [ref.track_monocular(im, ts=0.0) for im in imgs[:12]]
+    out = list(slam.localize_stream(((im, 0.0) for im in imgs[:12]), chunk=4))
+    assert len(out) == 12
+    for (fid, ts, p), q in zip(out, per_frame):
+        assert p is not None and q is not None
+        np.testing.assert_allclose(np.asarray(p[0]), np.asarray(q[0]),
+                                   atol=1e-3)
+        np.testing.assert_allclose(np.asarray(p[1]), np.asarray(q[1]),
+                                   atol=5e-3)
+
+    # blackout mid-stream: the speculative chunk must be discarded and the
+    # stream must recover through relocalization
+    black = np.zeros_like(imgs[0])
+    seq2 = [imgs[2], imgs[3], black, black, imgs[4], imgs[5], imgs[6],
+            imgs[7], imgs[8], imgs[9]]
+    out2 = list(slam.localize_stream(((im, 0.0) for im in seq2), chunk=3))
+    assert len(out2) == len(seq2)
+    n_ok = sum(p is not None for _, _, p in out2)
+    assert n_ok >= len(seq2) - 4, n_ok          # blacks + <=2 reloc frames
+    assert out2[-1][2] is not None              # recovered by the end
+    assert slam.state is TrackingState.OK
+
+
+def test_two_stage_localization_close_to_sequential(sequence):
+    """The DEFAULT localization chunk (loc_two_stage: sequential stage-1
+    seeds, vmapped local-map refinement) must stay numerically close to the
+    reference-ordered sequential cascade: each frame still ends on its own
+    full local-map optimization, only the next frame's seed differs."""
+    world, poses, imgs, cfg = sequence
+    import copy
+    import dataclasses as _dc
+
+    slam = SlamSystem(cfg)
+    for i, img in enumerate(imgs):
+        slam.track_monocular(img, ts=i / 30.0)
+    assert slam.state is TrackingState.OK
+    slam.activate_localization_mode()
+    assert slam.cfg.tracking.loc_two_stage   # the production default
+    ref = copy.copy(slam)
+    ref.trajectory = list(slam.trajectory)
+    ref.stats = dict(slam.stats)
+    ref.cfg = ref.cfg.replace(
+        tracking=_dc.replace(ref.cfg.tracking, loc_two_stage=False))
+
+    seq = [ref.track_monocular(im, ts=0.0) for im in imgs[:8]]
+    two = list(slam.localize_stream(((im, 0.0) for im in imgs[:8]), chunk=8))
+    assert len(two) == 8
+    for (fid, ts, p), q in zip(two, seq):
+        assert p is not None and q is not None
+        np.testing.assert_allclose(np.asarray(p[0]), np.asarray(q[0]),
+                                   atol=3e-2)
+        np.testing.assert_allclose(np.asarray(p[1]), np.asarray(q[1]),
+                                   atol=5e-2)
+
+
+def test_pipelined_slam_tracks_and_matches_sync(sequence):
+    """SLAM-mode pipelining (pipeline_depth=2: control readbacks deferred,
+    keyframe decisions lag two frames, mapping phase fully async) must
+    produce a trajectory of the same quality as the synchronous path —
+    exact equality is impossible (frames k+1..k+2 track against the
+    pre-insert map, like the reference's tracking running ahead of
+    LocalMapping), so both are held to the same ATE bar."""
+    import dataclasses
+
+    world, poses, imgs, cfg = sequence
+    cfg2 = cfg.replace(
+        tracking=dataclasses.replace(cfg.tracking, pipeline_depth=2)
+    )
+    s1 = SlamSystem(cfg2)
+    for i, img in enumerate(imgs):
+        s1.track_monocular(img, ts=i / 30.0)
+    s1.flush()
+    assert s1.state is TrackingState.OK
+    assert not s1._pending
+    assert s1.n_keyframes >= 2
+    recs = [r for r in s1.get_trajectory() if r.state is TrackingState.OK]
+    assert len(recs) >= len(imgs) - 6
+    est_c = trajectory.camera_centers([r.Rcw for r in recs],
+                                      [r.tcw for r in recs])
+    gt = [poses[r.frame_id] for r in recs]
+    gt_c = trajectory.camera_centers([g[0] for g in gt], [g[1] for g in gt])
+    ate = trajectory.ate_rmse(est_c, gt_c, align=True, with_scale=False)
+    assert ate < 0.03, ate
+    # host slot mirror consistent with the device map
+    np.testing.assert_array_equal(
+        s1._kf_valid_host, np.asarray(s1.map.kf_valid)
+    )
+    assert s1.n_keyframes == int(s1.map.num_keyframes())
+
+
+def test_pipelined_lost_rewind_and_recovery(sequence):
+    """A blackout discovered `depth` frames late must rewind the speculative
+    frames and recover through relocalization, exactly like the synchronous
+    path does."""
+    import dataclasses
+
+    world, poses, imgs, cfg = sequence
+    cfg2 = cfg.replace(
+        tracking=dataclasses.replace(cfg.tracking, pipeline_depth=2,
+                                     reset_if_lost_with_kfs_leq=0)
+    )
+    slam = SlamSystem(cfg2)
+    for i, img in enumerate(imgs[:10]):
+        slam.track_monocular(img, ts=i / 30.0)
+    black = np.zeros_like(imgs[0])
+    for j in range(3):
+        slam.track_monocular(black, ts=(10 + j) / 30.0)
+    # resume with real frames -> marker relocalization recovers
+    for j, img in enumerate(imgs[10:14]):
+        slam.track_monocular(img, ts=(13 + j) / 30.0)
+    slam.flush()
+    assert slam.state is TrackingState.OK
+    assert slam.stats["reloc"] >= 1
+    # trajectory records cover every frame exactly once, in order
+    fids = [r.frame_id for r in slam.get_trajectory()]
+    assert fids == sorted(fids) and len(set(fids)) == len(fids)
+    assert len(fids) == 17
+    lost = [r for r in slam.trajectory if r.state is TrackingState.LOST]
+    assert len(lost) >= 2          # the blacked-out frames
