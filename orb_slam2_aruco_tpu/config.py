@@ -142,6 +142,17 @@ class TrackingConfig:
                                       # steady-state tracking). False = the
                                       # fully sequential reference-ordered
                                       # cascade.
+    local_map_candidates: int = 4096  # static cap for the compacted local-map
+                                      # point set in track_local_map; the
+                                      # [C, N] window-matching passes are the
+                                      # refine stage's bandwidth cost, so C
+                                      # should cover the visible local map and
+                                      # no more
+    seed_rounds: int = 2              # trimmed LM budget (rounds x iters) for
+    seed_iters: int = 6               # the two-stage chunk's stage-1 SEED pose
+                                      # (full 4x10 refinement follows in
+                                      # stage 2, so the seed only needs to
+                                      # land within the search window)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -14,6 +14,7 @@ Format history:
      SLOT indices; may predate pt_obs_kf)
   2  adds kf_seq / next_seq (pt_first_kf holds insertion sequence
      numbers) and the optional float64 `kf_ts64` side array
+  3  adds pt_aruco (persistent marker<->point correlation)
 """
 
 from __future__ import annotations
@@ -24,7 +25,7 @@ from orb_slam2_aruco_tpu.worldmap.state import MapState
 
 import jax.numpy as jnp
 
-_FORMAT_VERSION = 2
+_FORMAT_VERSION = 3
 
 # extra (non-MapState) arrays carried in the checkpoint
 _EXTRA_KEYS = ("kf_ts64",)
@@ -47,9 +48,14 @@ def load_extras(path: str) -> dict:
 def load_map(path: str) -> MapState:
     data = np.load(path)
     version = int(data["__version__"])
-    if version not in (1, 2):
+    if version not in (1, 2, 3):
         raise ValueError(f"unsupported map checkpoint version {version}")
     kwargs = {f: jnp.asarray(data[f]) for f in MapState._fields if f in data}
+    if "pt_aruco" not in kwargs:
+        # pre-v3 checkpoints predate the marker<->point correlation column
+        kwargs["pt_aruco"] = jnp.full(
+            (kwargs["pt_valid"].shape[0],), -1, jnp.int32
+        )
     if "pt_obs_kf" not in kwargs:
         # older checkpoints predate the point<->KF incidence matrix: rebuild
         # it from the observation table (host-side, load is not a hot path)

@@ -16,22 +16,16 @@ Dictionaries provided:
     reference tree; see tools/extract_cv2_dicts.py). Real MIP_36h12 footage
     decodes with this engine.
   * ARUCO_MIP_25h7 — the samsung7 sequences' dictionary (reference
-    README.md:12; dictionary.h:53-140). The exact published table ships
-    with the upstream aruco library only (not OpenCV), which this offline
-    build cannot fetch and must not copy from the reference tree — so the
-    table is REGENERATED per the published generation criteria
-    (Garrido-Jurado et al., 'Automatic generation and detection of highly
-    reliable fiducial markers under occlusion', PR 2014, §dictionary
-    generation): 5x5 bit markers proposed row-word by row-word with word
-    probabilities mixing bit-transition count (detection robustness) and
-    non-occurrence (inter-marker diversity), accepted when the Hamming
-    distance to every accepted marker over ALL four rotations AND to the
-    marker's own rotations is >= tau = 7 (the 'h7' property), with
-    tau-based error correction floor((7-1)/2) = 3 at decode. 100 ids, the
-    published size. Deterministic (seeded). The exact published table is a
-    drop-in: place it as data/aruco_mip_25h7.npz (same layout as 36h12) or
-    register it at runtime via `Dictionary.from_codes` — decode semantics
-    are table-independent.
+    README.md:12; dictionary.h:53-140). Ships the EXACT published 100-id
+    5x5 table from the public upstream ArUco 3.x release (a published
+    constant data table, BSD license), packed into
+    data/aruco_mip_25h7.npz by tools/extract_aruco_mip_25h7.py with the
+    bit convention verified against the independently cv2-sourced 36h12
+    data. Real samsung7 footage decodes with this engine. min pairwise
+    rotation-invariant Hamming distance 7 (verified), tau-based error
+    correction floor((7-1)/2) = 3 at decode. If the data file is missing
+    the loader falls back to a criteria-faithful regeneration
+    (_generate_mip_style, Garrido-Jurado et al. PR 2014).
   * TPU_16h5 / TPU_36h12 — generated dictionaries (same acceptance rule)
     for tests and custom rigs.
 """
@@ -266,9 +260,11 @@ def get_dictionary(name: str) -> Dictionary:
         elif name in ("TPU_16h5", "ARUCO_MIP_16h3"):
             _REGISTRY[name] = _generate_dictionary("TPU_16h5", 4, 64, 5, seed=11)
         elif name in ("TPU_25h7", "ARUCO_MIP_25h7"):
-            # prefer the exact published table when present as a data file
-            # (same packbits layout as 36h12); otherwise the faithful
-            # regeneration per the published criteria (module docstring)
+            # the exact published upstream table, packed by
+            # tools/extract_aruco_mip_25h7.py (bit convention verified
+            # against the independent cv2-sourced 36h12 data); falls back to
+            # the criteria-faithful regeneration only if the data file is
+            # missing (module docstring)
             import os
 
             data = os.path.join(

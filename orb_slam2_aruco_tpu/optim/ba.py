@@ -511,6 +511,16 @@ def ba_solve(
         )
         lam = jnp.clip(jnp.where(accept, lam * 0.5, lam * 5.0), 1e-9, 1e5)
         chi2_cur = jnp.where(accept, chi2_new, chi2_cur)
+        # NOTE on stall accounting: rejected steps count toward the 2-stall
+        # exit on purpose. The g2o-style alternative (rejections only stall
+        # once lambda is high, so LM keeps re-damping) was tried in round 4
+        # and measurably REGRESSED tracking robustness — the longer LM tail
+        # reshapes marginal maps enough that relocalization on the aliased-
+        # texture retrieval scene failed permanently (tests/test_retrieval
+        # fixture: transient LOST at frame 20 became terminal). The conserva-
+        # tive exit also keeps the mapping phase's dominant sequential cost
+        # bounded; lam0 is configured per problem so mis-scaled-lam0 aborts
+        # do not occur in practice.
         stall = jnp.where(improved, 0, stall + 1)
         return state, lam, chi2_cur, it + 1, stall
 

@@ -167,166 +167,20 @@ def _triangulate_pair(
 ):
     """Traced body of two-view triangulation; `enable` (traced bool) masks
     the whole allocation so a caller can loop over a fixed neighbor list
-    with invalid tail entries (triangulate_vs_covisible)."""
-    N = state.kf_kp_uv.shape[1]
-    d_new = state.kf_desc[kf_new]
-    d_prev = state.kf_desc[kf_prev]
-    free_new = state.kf_kp_valid[kf_new] & (state.kf_obs_point[kf_new] < 0)
-    free_prev = state.kf_kp_valid[kf_prev] & (state.kf_obs_point[kf_prev] < 0)
-    dist = matching.distance_matrix(d_new, d_prev, free_new, free_prev)
-    R1 = state.kf_Rcw[kf_prev]
-    t1 = state.kf_tcw[kf_prev]
-    R2 = state.kf_Rcw[kf_new]
-    t2 = state.kf_tcw[kf_new]
-    # epipolar gate BEFORE nearest-neighbor selection (the reference's
-    # CheckDistEpipolarLine inside SearchForTriangulation,
-    # src/ORBmatcher.cc:140-157 and :661): repetitive texture makes pure
-    # descriptor-NN matching ambiguous; the epipolar constraint resolves it
-    R21, t21 = se3_compose(R2, t2, *se3_inverse(R1, t1))
-    tx, ty, tz = t21[0], t21[1], t21[2]
-    zero = jnp.zeros(())
-    skew = jnp.stack([
-        jnp.stack([zero, -tz, ty]),
-        jnp.stack([tz, zero, -tx]),
-        jnp.stack([-ty, tx, zero]),
-    ])
-    E = skew @ R21                                               # [t]x R
-    Kinv = jnp.asarray([
-        [1.0 / cam.fx, 0.0, -cam.cx / cam.fx],
-        [0.0, 1.0 / cam.fy, -cam.cy / cam.fy],
-        [0.0, 0.0, 1.0],
-    ], dtype=jnp.float32)
-    F = Kinv.T @ E @ Kinv
-    uv1_all = state.kf_kp_uv[kf_prev]
-    uv2_all = state.kf_kp_uv[kf_new]
-    p1h = jnp.concatenate([uv1_all, jnp.ones((N, 1))], axis=1)   # [N, 3]
-    p2h = jnp.concatenate([uv2_all, jnp.ones((N, 1))], axis=1)
-    lines = p1h @ F.T                                            # [N_prev, 3]
-    num = jnp.abs(p2h @ lines.T)                                 # [new, prev]
-    den = jnp.sqrt(lines[:, 0] ** 2 + lines[:, 1] ** 2)[None, :]
-    epi_d2 = (num / jnp.maximum(den, 1e-9)) ** 2
-    sig2 = scale_sigma2(cfg.orb.num_levels, cfg.orb.scale_factor)
-    epi_ok = epi_d2 * sig2[state.kf_kp_octave[kf_new]][:, None] < 3.84
-    dist = jnp.where(epi_ok, dist, jnp.inf)
-    m = matching.nn_match(
-        dist, max_dist=float(cfg.matcher.th_low),
-        nn_ratio=0.8, mutual=True,
+    with invalid tail entries. Thin composition of the shared candidate
+    generator (_tri_candidates) and allocator (_allocate_points) — one copy
+    of the epipolar/DLT/gate logic serves both this single-pair entry and
+    triangulate_vs_covisible."""
+    good, xyz, prev_idx, _ = _tri_candidates(
+        state, kf_new, kf_prev, cam, cfg, enable
     )
-    uv_new = state.kf_kp_uv[kf_new]
-    uv_prev = state.kf_kp_uv[kf_prev][jnp.maximum(m.idx, 0)]
-    xn2 = cam_mod.pixels_to_normalized(cam, uv_new)
-    xn1 = cam_mod.pixels_to_normalized(cam, uv_prev)
-    Nb = xn1.shape[0]
-    xyz = triangulate_dlt(
-        jnp.broadcast_to(R1, (Nb, 3, 3)), jnp.broadcast_to(t1, (Nb, 3)),
-        jnp.broadcast_to(R2, (Nb, 3, 3)), jnp.broadcast_to(t2, (Nb, 3)),
-        xn1, xn2,
+    N = good.shape[0]
+    nb_slot = jnp.broadcast_to(
+        jnp.asarray(kf_prev, jnp.int32), (N,)
     )
-    z1 = se3_apply(R1[None], t1[None], xyz)[..., 2]
-    p2 = se3_apply(R2[None], t2[None], xyz)
-    z2 = p2[..., 2]
-    uv1_re = cam_mod.project(cam, se3_apply(R1[None], t1[None], xyz))
-    uv2_re = cam_mod.project(cam, p2)
-    e1 = jnp.sum((uv1_re - uv_prev) ** 2, axis=-1)
-    e2 = jnp.sum((uv2_re - uv_new) ** 2, axis=-1)
-    sig2 = scale_sigma2(cfg.orb.num_levels, cfg.orb.scale_factor)
-    s2_new = sig2[state.kf_kp_octave[kf_new]]
-    # parallax: rays from the two camera centers
-    _, c1 = se3_inverse(R1, t1)
-    _, c2 = se3_inverse(R2, t2)
-    r1 = xyz - c1[None]
-    r2v = xyz - c2[None]
-    cosp = jnp.sum(r1 * r2v, axis=-1) / jnp.maximum(
-        jnp.linalg.norm(r1, axis=-1) * jnp.linalg.norm(r2v, axis=-1), 1e-9
+    return _allocate_points(
+        state, kf_new, nb_slot, prev_idx, good, xyz, cam, cfg, max_new
     )
-    good = (
-        m.valid
-        & enable
-        & jnp.all(jnp.isfinite(xyz), axis=-1)
-        & (z1 > 0.02)
-        & (z2 > 0.02)
-        & (e1 * s2_new < 5.991)
-        & (e2 * s2_new < 5.991)
-        & (cosp < 0.9999)
-    )
-    # allocate slots
-    rank = jnp.cumsum(good.astype(jnp.int32)) - 1
-    slots_free = free_slots(state.pt_valid, max_new)
-    can = good & (rank < max_new)
-    pslot = slots_free[jnp.clip(rank, 0, max_new - 1)]
-    can = can & ~state.pt_valid[pslot]
-    tgt = jnp.where(can, pslot, state.L)
-    # recycling safety net: clear any stale feature->point reference to the
-    # slots being (re-)allocated, across ALL keyframes (cull_points scrubs
-    # at invalidation time; this covers references invalidated since)
-    recycled = jnp.zeros((state.L,), bool).at[tgt].set(can, mode="drop")
-    obs_all = state.kf_obs_point
-    stale_all = (obs_all >= 0) & recycled[jnp.maximum(obs_all, 0)]
-    state = state._replace(
-        kf_obs_point=jnp.where(stale_all, -1, obs_all)
-    )
-
-    # point attributes
-    view = xyz - c2[None]
-    vdist = jnp.linalg.norm(view, axis=-1)
-    normal = view / jnp.maximum(vdist[..., None], 1e-9)
-    sf = _scale_factors(cfg)
-    lvl = state.kf_kp_octave[kf_new]
-    max_d = vdist * sf[lvl]
-    min_d = max_d / sf[-1]
-
-    def scat(arr, vals):
-        pad = jnp.zeros((1,) + arr.shape[1:], arr.dtype)
-        return jnp.concatenate([arr, pad]).at[tgt].set(vals)[: state.L]
-
-    state = state._replace(
-        pt_xyz=scat(state.pt_xyz, xyz),
-        pt_valid=scat(state.pt_valid, can),
-        pt_desc=scat(state.pt_desc, d_new),
-        pt_normal=scat(state.pt_normal, normal),
-        pt_min_dist=scat(state.pt_min_dist, min_d),
-        pt_max_dist=scat(state.pt_max_dist, max_d),
-        pt_ref_kf=scat(state.pt_ref_kf, jnp.full((Nb,), 1, jnp.int32) * kf_new),
-        # creation stamp = the creating keyframe's INSERTION SEQUENCE, not its
-        # slot: slot indices are recycled by keyframe culling, which would make
-        # probation age (cull_points) and fusion ordering (fuse_duplicates)
-        # wrong on long sequences at capacity
-        pt_first_kf=scat(
-            state.pt_first_kf,
-            jnp.broadcast_to(state.kf_seq[kf_new], (Nb,)).astype(jnp.int32),
-        ),
-        pt_found=scat(state.pt_found, jnp.ones((Nb,))),
-        pt_visible=scat(state.pt_visible, jnp.ones((Nb,))),
-    )
-    # observations in both keyframes
-    obs_new = state.kf_obs_point[kf_new]
-    obs_new = jnp.where(can, pslot, obs_new)
-    obs_prev_row = state.kf_obs_point[kf_prev]
-    prev_tgt = jnp.where(can, m.idx, N)
-    obs_prev_row = jnp.concatenate(
-        [obs_prev_row, jnp.zeros((1,), jnp.int32)]
-    ).at[prev_tgt].set(jnp.where(can, pslot, -1))[:N]
-    obs_prev_row = jnp.where(
-        obs_prev_row >= 0, obs_prev_row, state.kf_obs_point[kf_prev]
-    )
-    # incidence rows for the new (possibly recycled) point slots: observed by
-    # exactly {kf_new, kf_prev}; row overwrite also clears stale bits left by
-    # a previously culled occupant of the slot
-    K = state.K
-    kiota = jnp.arange(K, dtype=jnp.int32)
-    inc_row = (kiota == kf_new) | (kiota == kf_prev)
-    inc_rows = jnp.broadcast_to(inc_row, (Nb, K))
-    pt_obs_kf = jnp.concatenate(
-        [state.pt_obs_kf, jnp.zeros((1, K), bool)]
-    ).at[tgt].set(inc_rows)[: state.L]
-    state = state._replace(
-        kf_obs_point=state.kf_obs_point.at[kf_new]
-        .set(obs_new)
-        .at[kf_prev]
-        .set(obs_prev_row),
-        pt_obs_kf=pt_obs_kf,
-    )
-    return state, jnp.sum(can.astype(jnp.int32))
 
 
 def _tri_candidates(state: MapState, kf_new, nb, cam: Camera,
@@ -544,6 +398,8 @@ def _allocate_points(state: MapState, kf_new, nb_slot, prev_idx, good, xyz,
         ),
         pt_found=scat(state.pt_found, jnp.ones((N,))),
         pt_visible=scat(state.pt_visible, jnp.ones((N,))),
+        # recycled slots must not inherit the previous occupant's marker tag
+        pt_aruco=scat(state.pt_aruco, jnp.full((N,), -1, jnp.int32)),
     )
     # observations: the new keyframe's feature row...
     obs_new = jnp.where(can, pslot, state.kf_obs_point[kf_new])
@@ -589,7 +445,13 @@ def cull_points(state: MapState, min_found_ratio: float = 0.25):
 
     Age is measured in INSERTION SEQUENCE numbers (pt_first_kf holds the
     creating keyframe's kf_seq), so it stays correct when keyframe slots are
-    recycled by culling on capacity-bound long sequences."""
+    recycled by culling on capacity-bound long sequences.
+
+    Marker-correlated points (pt_aruco >= 0 on a live marker — the
+    reference's forflag/mArucoID tag, LocalMapping.cc:469-485) are exempt:
+    they anchor the marker<->structure coupling the reference maintains via
+    MapAruco's correlated points (KeyFrame.cc:256-280) and feed the one-shot
+    scale correction, so probation statistics must not drop them."""
     ratio = state.pt_found / jnp.maximum(state.pt_visible, 1.0)
     cnt = jnp.sum(
         state.pt_obs_kf & state.kf_valid[None, :], axis=1, dtype=jnp.int32
@@ -597,7 +459,10 @@ def cull_points(state: MapState, min_found_ratio: float = 0.25):
     latest_seq = state.next_seq - 1
     age = latest_seq - jnp.maximum(state.pt_first_kf, 0)
     recent = age <= 3
-    bad = state.pt_valid & recent & (
+    in_marker = (state.pt_aruco >= 0) & state.mk_valid[
+        jnp.clip(state.pt_aruco, 0, state.M - 1)
+    ]
+    bad = state.pt_valid & recent & ~in_marker & (
         (ratio < min_found_ratio) | ((age >= 2) & (cnt <= 2))
     )
     new_valid = state.pt_valid & ~bad
@@ -772,17 +637,26 @@ def build_ba_problem(
     return prob, sel, sel_ok, pt_sel, pt_ok
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
+@functools.partial(jax.jit, static_argnames=("cfg", "propagate"))
 def writeback_ba(
     state: MapState,
     out,                    # ba.BAResult
     e_mask,                 # [E] the problem's point-edge mask
     sel, sel_ok, pt_sel, pt_ok,
     cfg: SlamConfig,
+    propagate: bool = False,
 ):
     """Scatter a BA solution back into the map state (the write-back half of
     LocalBundleAdjustment, reference Optimizer.cc:1207-1240, including the
-    chi2 > 5.991 outlier-observation erase :1171-1201)."""
+    chi2 > 5.991 outlier-observation erase :1171-1201).
+
+    `propagate` (global BA): points the problem's point bucket could not hold
+    are corrected THROUGH their reference keyframe's pose delta — project
+    into the ref KF's camera frame with its pre-BA pose, back out with its
+    post-BA pose (the reference's post-GBA propagation of non-participating
+    map points via their reference keyframe, LoopClosing.cc:1190-1224). A
+    point whose stored ref KF slot went stale (culled/recycled) falls back
+    to any current observer from the incidence matrix."""
     K, N = state.kf_obs_point.shape
     max_cams = sel.shape[0]
     # ---- write back (scatter with one pad row so masked rows are no-ops) ----
@@ -798,6 +672,32 @@ def writeback_ba(
     pt_xyz = jnp.concatenate([state.pt_xyz, padp]).at[
         jnp.where(pt_ok, pt_sel, state.L)
     ].set(out.points)[: state.L]
+    if propagate:
+        # ---- correct out-of-bucket points via their ref KF's pose delta ----
+        moved = jnp.zeros((K + 1,), bool).at[
+            jnp.where(sel_ok, sel, K)
+        ].max(sel_ok)[:K]
+        written = jnp.zeros((state.L + 1,), bool).at[
+            jnp.where(pt_ok, pt_sel, state.L)
+        ].max(pt_ok)[: state.L]
+        ref_raw = state.pt_ref_kf
+        ref_c = jnp.clip(ref_raw, 0, K - 1)
+        obs_ok = state.pt_obs_kf & state.kf_valid[None, :]       # [L, K]
+        ref_live = (
+            (ref_raw >= 0)
+            & state.kf_valid[ref_c]
+            & jnp.take_along_axis(obs_ok, ref_c[:, None], axis=1)[:, 0]
+        )
+        eff_ref = jnp.where(ref_live, ref_c, jnp.argmax(obs_ok, axis=1))
+        eff_ok = ref_live | jnp.any(obs_ok, axis=1)
+        prop = state.pt_valid & ~written & eff_ok & moved[eff_ref]
+        R_old = state.kf_Rcw[eff_ref]                            # pre-BA
+        t_old = state.kf_tcw[eff_ref]
+        R_new = kf_Rcw[eff_ref]                                  # post-BA
+        t_new = kf_tcw[eff_ref]
+        x_cam = jnp.einsum("lij,lj->li", R_old, state.pt_xyz) + t_old
+        x_prop = jnp.einsum("lji,lj->li", R_new, x_cam - t_new)
+        pt_xyz = jnp.where(prop[:, None], x_prop, pt_xyz)
     # outlier edge erase (reference erases obs with chi2 > 5.991 after BA)
     edge_bad = (out.edge_chi2 > cfg.optim.chi2_mono) & (e_mask > 0)
     obs_rows = state.kf_obs_point[sel].reshape(-1)
@@ -864,7 +764,7 @@ def bundle_adjust(
         lam0=cfg.optim.lm_lambda_init,
     )
     return writeback_ba(state, out, prob.e_mask, sel, sel_ok, pt_sel, pt_ok,
-                        cfg)
+                        cfg, propagate=window_all)
 
 
 def bundle_adjust_distributed(
@@ -898,7 +798,7 @@ def bundle_adjust_distributed(
     # back indexes edges by the ORIGINAL [max_cams * N] layout
     out = out._replace(edge_chi2=out.edge_chi2[: prob.e_kf.shape[0]])
     return writeback_ba(state, out, prob.e_mask, sel, sel_ok, pt_sel, pt_ok,
-                        cfg)
+                        cfg, propagate=window_all)
 
 
 # ---------------------------------------------------------------------------
@@ -1041,6 +941,24 @@ def aruco_plane_update(state: MapState, kf, cam: Camera, cfg: SlamConfig):
 
     n_in = jnp.sum(w0, axis=1)
     enough = n_in >= cfg.aruco.plane_fit_min_points
+
+    # ---- persistent marker<->point correlation (MapPointRelatedAruco,
+    # reference LocalMapping.cc:469-485 + MapPoint.cc:132: every map point
+    # whose feature lies inside an observed marker quad gets tagged with
+    # that marker — forflag/mArucoID). Tag regardless of plane-fit success,
+    # like the reference; scatter point slot -> marker slot.
+    slot_per_feat = jnp.max(
+        jnp.where(w0 & mk_obs_ok[:, None],
+                  jnp.clip(mk_slots, 0, state.M - 1)[:, None], -1),
+        axis=0,
+    )                                                # [N]
+    tag_tgt = jnp.where(
+        (slot_per_feat >= 0) & has_pt, jnp.maximum(obs, 0), state.L
+    )
+    pt_aruco = jnp.concatenate(
+        [state.pt_aruco, jnp.zeros((1,), jnp.int32)]
+    ).at[tag_tgt].max(slot_per_feat)[: state.L]
+    state = state._replace(pt_aruco=pt_aruco)
 
     # RANSAC plane hypotheses (the reference fits cntMPok/2 random 5-point
     # planes, LocalMapping.cc:566-607): H hypotheses per marker, each a

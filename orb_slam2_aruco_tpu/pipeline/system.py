@@ -932,18 +932,10 @@ class SlamSystem:
             # size the GBA program to the LIVE map (one scalar readback at
             # this already host-sequential moment): power-of-two buckets
             # with headroom for keyframes/points inserted while the slices
-            # drain over the next frames
-            n_pts_live = int(jnp.sum(self.map.pt_valid))
-            kb = 8
-            while kb < min(self.n_keyframes + 8, cfg.map.max_keyframes):
-                kb *= 2
-            kb = min(kb, cfg.map.max_keyframes)
-            pb = 1024
-            while pb < min(int(n_pts_live * 1.25) + 256,
-                           cfg.map.max_points):
-                pb *= 2
-            pb = min(pb, 8192, cfg.map.max_points)
-            self._gba_shape = (kb, pb)
+            # drain over the next frames (re-checked per slice — see
+            # _gba_bucket_shape)
+            self._gba_shape = self._gba_bucket_shape()
+            self._gba_shape_kfs = self.n_keyframes
             # one stabilization slice INLINE: the very next frame
             # must track against a self-consistent map (the rest of
             # the iterations amortize across subsequent frames)
@@ -957,6 +949,21 @@ class SlamSystem:
             self.stats.setdefault("_rej_inl", []).append(int(cand.n_inliers))
 
     # ------------------------------------------------------------------
+    def _gba_bucket_shape(self):
+        """Power-of-two (keyframe, point) bucket sizes covering the LIVE map
+        with headroom (one pt_valid scalar readback)."""
+        cfg = self.cfg
+        n_pts_live = int(jnp.sum(self.map.pt_valid))
+        kb = 8
+        while kb < min(self.n_keyframes + 8, cfg.map.max_keyframes):
+            kb *= 2
+        kb = min(kb, cfg.map.max_keyframes)
+        pb = 1024
+        while pb < min(int(n_pts_live * 1.25) + 256, cfg.map.max_points):
+            pb *= 2
+        pb = min(pb, 8192, cfg.map.max_points)
+        return kb, pb
+
     def _gba_slice(self):
         """One slice of the pending post-loop global BA (RunGlobalBundle-
         Adjustment, reference LoopClosing.cc:1132-1236, amortized): a few LM
@@ -968,6 +975,16 @@ class SlamSystem:
         R_ref0 = self.map.kf_Rcw[ref]
         t_ref0 = self.map.kf_tcw[ref]
         if self._gba_shape is not None:
+            # keyframes/points inserted while the slices drain can exceed
+            # the loop-time headroom; silently capping would drop the oldest
+            # keyframes from the global adjustment — grow the bucket when
+            # the keyframe count moved (point recount only then: it costs a
+            # device readback, and points only grow alongside inserts)
+            if self.n_keyframes != getattr(self, "_gba_shape_kfs", -1):
+                kb0, pb0 = self._gba_shape
+                kb1, pb1 = self._gba_bucket_shape()
+                self._gba_shape = (max(kb0, kb1), max(pb0, pb1))
+                self._gba_shape_kfs = self.n_keyframes
             gba_cams, gba_pts = self._gba_shape
         else:
             gba_cams = cfg.map.max_keyframes

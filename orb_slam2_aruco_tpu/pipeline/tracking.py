@@ -224,7 +224,7 @@ def _optimize(state, frame, slots, Rcw0, tcw0, obs_point, cam, cfg: SlamConfig,
     return res, obs_out
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
+@functools.partial(jax.jit, static_argnames=("cfg", "seed_budget"))
 def track_frame(
     state: MapState,
     frame: Frame,
@@ -273,8 +273,8 @@ def track_frame(
     n_matches = jnp.sum(m.valid.astype(jnp.int32))
     res, obs_out = _optimize(
         state, frame, slots, Rcw0, tcw0, obs_point, cam, cfg, old,
-        rounds=2 if seed_budget else None,
-        iters_per_round=6 if seed_budget else None,
+        rounds=cfg.tracking.seed_rounds if seed_budget else None,
+        iters_per_round=cfg.tracking.seed_iters if seed_budget else None,
     )
     return TrackResult(res.Rcw, res.tcw, obs_out, res.n_inliers, n_matches)
 
@@ -427,7 +427,7 @@ def track_local_map(
     # compact the candidate set before matching: the local map holds a few
     # thousand points at most, so the [L, N] distance/window matrices would
     # be mostly masked-out work for large L
-    C = min(L, 4096)
+    C = min(L, cfg.tracking.local_map_candidates)
     cscore, cidx = jax.lax.top_k(cand.astype(jnp.int32), C)
     csel = cscore > 0
     # match candidate points' descriptors to unmatched current features
@@ -531,8 +531,12 @@ def track_batch(
             )
             Rl_inv, tl_inv = se3_inverse(Rl, tl)
             vR2, vt2 = se3_compose(tr.Rcw, tr.tcw, Rl_inv, tl_inv)
+            # gate the motion model on stage-1 inliers like the sequential
+            # path does — a mid-chunk tracking failure must fall back to the
+            # last pose, not propagate a garbage constant-velocity seed
+            ok1 = tr.n_inliers >= cfg.tracking.min_matches_local_map
             carry2 = (
-                tr.Rcw, tr.tcw, vR2, vt2, jnp.asarray(True),
+                tr.Rcw, tr.tcw, vR2, vt2, ok1,
                 frame.kp_uv, frame.desc, tr.obs_point, frame.kp_valid,
                 frame.kp_octave, frame.kp_angle,
             )

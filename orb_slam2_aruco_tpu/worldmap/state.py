@@ -57,6 +57,12 @@ class MapState(NamedTuple):
                                # (kf_seq value, not the slot: culling age and
                                # fusion ordering stay correct when keyframe
                                # slots are recycled)
+    pt_aruco: jnp.ndarray      # [L] int32 marker SLOT whose observed quad
+                               # contains this point's feature (-1 = none) —
+                               # the reference's persistent marker<->point
+                               # correlation (MapPoint forflag/mArucoID,
+                               # MapPoint.cc:132, LocalMapping.cc:469-485),
+                               # filled at plane-update time
     pt_obs_kf: jnp.ndarray     # [L, K] bool point<->keyframe incidence
                                # (which KFs observe each point; lets the
                                # covisibility-local map be two matmuls
@@ -141,6 +147,7 @@ def empty_map(cfg: SlamConfig, num_words: int = None) -> MapState:
         pt_found=jnp.ones((L,), f32),
         pt_visible=jnp.ones((L,), f32),
         pt_first_kf=jnp.full((L,), -1, jnp.int32),
+        pt_aruco=jnp.full((L,), -1, jnp.int32),
         pt_obs_kf=jnp.zeros((L, K), bool),
         mk_Rwm=eyem,
         mk_twm=jnp.zeros((M, 3), f32),

@@ -224,9 +224,10 @@ def test_mip36h12_tau_error_correction():
 
 
 def test_mip25h7_properties_and_tau_correction():
-    """ARUCO_MIP_25h7 (regenerated per the published criteria — module
-    docstring): 100 ids, 5x5, minimum Hamming distance 7 over ALL rotations
-    including self-rotations, tau-based correction of floor((7-1)/2)=3."""
+    """ARUCO_MIP_25h7 (the published upstream table, packed by
+    tools/extract_aruco_mip_25h7.py): 100 ids, 5x5, minimum Hamming distance
+    7 over ALL rotations including self-rotations, tau-based correction of
+    floor((7-1)/2)=3."""
     d = dictionary.get_dictionary("ARUCO_MIP_25h7")
     assert d.num_ids == 100 and d.grid == 5 and d.max_correction == 3
     rots = np.stack([

@@ -294,3 +294,117 @@ def test_local_ba_fixed_observer_ring_anchors_points(rng):
     # and drags every shared point with it)
     assert d_ring < 0.25 * d_no_ring, (d_ring, d_no_ring)
     assert d_ring < 0.08, d_ring
+
+
+def test_gba_writeback_propagates_out_of_bucket_points():
+    """Global-BA write-back with propagate=True must correct points the
+    point bucket could not hold THROUGH their reference keyframe's pose
+    delta (the reference's post-GBA propagation via mpRefKF,
+    LoopClosing.cc:1190-1224) — on a capacity-bound map, no point may be
+    left at its pre-correction position relative to its observers."""
+    from orb_slam2_aruco_tpu.optim import ba as ba_mod
+    from orb_slam2_aruco_tpu.geometry.lie import so3_exp
+
+    cfg = small_cfg()
+    state = empty_map(cfg)
+    rng_ = np.random.default_rng(3)
+    n_pts, n_kf = 8, 2
+    pts = jnp.asarray(rng_.normal(0, 1, (n_pts, 3)) + [0, 0, 5.0])
+    state = state._replace(
+        pt_xyz=state.pt_xyz.at[:n_pts].set(pts),
+        pt_valid=state.pt_valid.at[:n_pts].set(True),
+        pt_ref_kf=state.pt_ref_kf.at[:n_pts].set(
+            jnp.arange(n_pts, dtype=jnp.int32) % n_kf
+        ),
+        kf_valid=state.kf_valid.at[:n_kf].set(True),
+        pt_obs_kf=state.pt_obs_kf.at[:n_pts, :n_kf].set(True),
+    )
+    # point 5's stored ref slot is stale (culled KF slot 7) -> must fall
+    # back to a live observer from the incidence matrix
+    state = state._replace(pt_ref_kf=state.pt_ref_kf.at[5].set(7))
+    # fabricated GBA result: both KFs move by a known rigid world transform
+    # (world' = Rd @ world + td  =>  Tcw' = Tcw @ Td^-1)
+    Rd = so3_exp(jnp.asarray([0.05, -0.03, 0.08]))
+    td = jnp.asarray([0.3, -0.2, 0.1])
+    K = state.K
+    sel = jnp.arange(K, dtype=jnp.int32)
+    sel_ok = state.kf_valid
+    new_Rcw = jnp.einsum("kij,jl->kil", state.kf_Rcw, Rd.T)
+    new_tcw = state.kf_tcw - jnp.einsum("kij,j->ki", new_Rcw, td)
+    # the point bucket only holds points 0 and 1
+    max_pts = 2
+    pt_sel = jnp.asarray([0, 1], jnp.int32)
+    pt_ok = jnp.asarray([True, True])
+    moved_pts = (pts[:2] @ Rd.T) + td[None]
+    E = K * state.kf_obs_point.shape[1]
+    out = ba_mod.BAResult(
+        Rcw=new_Rcw, tcw=new_tcw, points=moved_pts,
+        Rwm=state.mk_Rwm, twm=state.mk_twm,
+        chi2=jnp.zeros(()), edge_chi2=jnp.zeros((E,)),
+        medge_chi2=jnp.zeros((1,)),
+    )
+    e_mask = jnp.zeros((E,), jnp.float32)
+    out_state, _ = mapping.writeback_ba(
+        state, out, e_mask, sel, sel_ok, pt_sel, pt_ok, cfg, propagate=True
+    )
+    want = (pts @ Rd.T) + td[None]
+    got = np.asarray(out_state.pt_xyz[:n_pts])
+    # in-bucket points written directly; out-of-bucket (incl. the stale-ref
+    # one) corrected via their ref KF delta — all must land on the
+    # transformed positions
+    np.testing.assert_allclose(got, np.asarray(want), atol=1e-5)
+
+
+def test_marker_point_correlation_tags_and_protects(rng):
+    """MapPointRelatedAruco parity (reference LocalMapping.cc:469-485,
+    MapPoint.cc:132): points whose feature lies inside an observed marker
+    quad get a persistent pt_aruco tag at plane-update time, and tagged
+    points are exempt from probation culling (the marker<->structure
+    coupling must survive, KeyFrame.cc:256-280)."""
+    cfg = small_cfg()
+    cam = cam_mod.camera_from_config(cfg.camera)
+    state = empty_map(cfg)
+    # KF 0 at origin; marker 0 observed with a quad at image center
+    quad = jnp.asarray(
+        [[300.0, 200.0], [340.0, 200.0], [340.0, 240.0], [300.0, 240.0]]
+    )
+    n_pts = 6
+    # features 0..2 inside the quad, 3..5 outside
+    uv = jnp.asarray([
+        [320.0, 220.0], [310.0, 210.0], [330.0, 230.0],
+        [100.0, 100.0], [500.0, 400.0], [50.0, 400.0],
+    ])
+    pts = jnp.asarray(rng.normal(0, 0.5, (n_pts, 3)) + [0, 0, 5.0])
+    state = state._replace(
+        kf_valid=state.kf_valid.at[0].set(True),
+        kf_kp_uv=state.kf_kp_uv.at[0, :n_pts].set(uv),
+        kf_kp_valid=state.kf_kp_valid.at[0, :n_pts].set(True),
+        kf_obs_point=state.kf_obs_point.at[0, :n_pts].set(
+            jnp.arange(n_pts, dtype=jnp.int32)
+        ),
+        pt_xyz=state.pt_xyz.at[:n_pts].set(pts),
+        pt_valid=state.pt_valid.at[:n_pts].set(True),
+        pt_obs_kf=state.pt_obs_kf.at[:n_pts, 0].set(True),
+        mk_valid=state.mk_valid.at[0].set(True),
+        mk_id=state.mk_id.at[0].set(7),
+        kf_mk_slot=state.kf_mk_slot.at[0, 0].set(0),
+        kf_mk_uv=state.kf_mk_uv.at[0, 0].set(quad),
+        kf_mk_valid=state.kf_mk_valid.at[0, 0].set(True),
+    )
+    out, _ = mapping.aruco_plane_update(state, jnp.asarray(0), cam, cfg)
+    tags = np.asarray(out.pt_aruco[:n_pts])
+    assert (tags[:3] == 0).all(), tags
+    assert (tags[3:] == -1).all(), tags
+    # probation culling: make every point look bad (poor found ratio, few
+    # obs, recent age) — the tagged points must survive, untagged ones drop
+    out = out._replace(
+        pt_found=out.pt_found.at[:n_pts].set(0.0),
+        pt_visible=out.pt_visible.at[:n_pts].set(10.0),
+        pt_first_kf=out.pt_first_kf.at[:n_pts].set(0),
+        kf_seq=out.kf_seq.at[0].set(0),
+        next_seq=jnp.asarray(3, jnp.int32),
+    )
+    culled, n = mapping.cull_points(out)
+    valid = np.asarray(culled.pt_valid[:n_pts])
+    assert valid[:3].all(), valid
+    assert not valid[3:].any(), valid

@@ -10,7 +10,7 @@ import numpy as np
 import pytest
 
 from orb_slam2_aruco_tpu.config import CameraConfig, SlamConfig
-from orb_slam2_aruco_tpu.io import synthetic
+from orb_slam2_aruco_tpu.io import synthetic, trajectory
 from orb_slam2_aruco_tpu.pipeline.system import SlamSystem, TrackingState
 
 from test_pipeline import small_config
