@@ -447,11 +447,12 @@ def cull_points(state: MapState, min_found_ratio: float = 0.25):
     creating keyframe's kf_seq), so it stays correct when keyframe slots are
     recycled by culling on capacity-bound long sequences.
 
-    Marker-correlated points (pt_aruco >= 0 on a live marker — the
-    reference's forflag/mArucoID tag, LocalMapping.cc:469-485) are exempt:
-    they anchor the marker<->structure coupling the reference maintains via
-    MapAruco's correlated points (KeyFrame.cc:256-280) and feed the one-shot
-    scale correction, so probation statistics must not drop them."""
+    Marker-correlated points (pt_aruco, the reference's forflag/mArucoID
+    tag) get NO exemption here: the reference's MapPointCulling likewise
+    applies no forflag check (LocalMapping.cc:185-220), and an experiment
+    exempting them measurably degraded loop-closure accuracy (bad in-quad
+    triangulations kept alive distort the loop Sim3) — marker protection
+    lives at the KEYFRAME level (cull_keyframes), as in the reference."""
     ratio = state.pt_found / jnp.maximum(state.pt_visible, 1.0)
     cnt = jnp.sum(
         state.pt_obs_kf & state.kf_valid[None, :], axis=1, dtype=jnp.int32
@@ -459,10 +460,7 @@ def cull_points(state: MapState, min_found_ratio: float = 0.25):
     latest_seq = state.next_seq - 1
     age = latest_seq - jnp.maximum(state.pt_first_kf, 0)
     recent = age <= 3
-    in_marker = (state.pt_aruco >= 0) & state.mk_valid[
-        jnp.clip(state.pt_aruco, 0, state.M - 1)
-    ]
-    bad = state.pt_valid & recent & ~in_marker & (
+    bad = state.pt_valid & recent & (
         (ratio < min_found_ratio) | ((age >= 2) & (cnt <= 2))
     )
     new_valid = state.pt_valid & ~bad

@@ -15,15 +15,23 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+import tempfile
+
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
-# The package enables a persistent compilation cache (great for the TPU
-# remote-compile relay, ~1-2 min/program). Under pytest it's a liability:
-# CPU compiles are fast, and concurrent test/bench processes sharing the
-# cache dir have produced corrupted entries whose deserialization
-# segfaults the whole suite mid-run — so tests always compile fresh.
-jax.config.update("jax_enable_compilation_cache", False)
+# Persistent compilation cache, but in a PRIVATE per-run directory. The
+# machine-wide shared dir was a double liability under pytest: concurrent
+# test/bench processes corrupted entries (deserialization segfaults), and
+# entries AOT-compiled on other machine types spam cpu_aot_loader errors.
+# A fresh per-run dir keeps both away while letting the big pipeline
+# programs (track_full & co, ~30-60 s of XLA:CPU each) survive the
+# per-module jax.clear_caches() below — recompiles across test modules
+# with the same config become disk hits, which is most of the suite's
+# former wall-clock.
+jax.config.update("jax_compilation_cache_dir",
+                  tempfile.mkdtemp(prefix="jax_cache_pytest_"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -355,12 +355,14 @@ def test_gba_writeback_propagates_out_of_bucket_points():
     np.testing.assert_allclose(got, np.asarray(want), atol=1e-5)
 
 
-def test_marker_point_correlation_tags_and_protects(rng):
+def test_marker_point_correlation_tags_and_recycles(rng):
     """MapPointRelatedAruco parity (reference LocalMapping.cc:469-485,
     MapPoint.cc:132): points whose feature lies inside an observed marker
-    quad get a persistent pt_aruco tag at plane-update time, and tagged
-    points are exempt from probation culling (the marker<->structure
-    coupling must survive, KeyFrame.cc:256-280)."""
+    quad get a persistent pt_aruco tag at plane-update time. Like the
+    reference (MapPointCulling has no forflag check, LocalMapping.cc:
+    185-220) the tag does NOT shield a point from probation culling —
+    marker protection lives at the keyframe level (cull_keyframes). A
+    culled slot's tag must not leak to the slot's next occupant."""
     cfg = small_cfg()
     cam = cam_mod.camera_from_config(cfg.camera)
     state = empty_map(cfg)
@@ -395,8 +397,7 @@ def test_marker_point_correlation_tags_and_protects(rng):
     tags = np.asarray(out.pt_aruco[:n_pts])
     assert (tags[:3] == 0).all(), tags
     assert (tags[3:] == -1).all(), tags
-    # probation culling: make every point look bad (poor found ratio, few
-    # obs, recent age) — the tagged points must survive, untagged ones drop
+    # probation culling applies regardless of the tag (reference parity)
     out = out._replace(
         pt_found=out.pt_found.at[:n_pts].set(0.0),
         pt_visible=out.pt_visible.at[:n_pts].set(10.0),
@@ -405,6 +406,22 @@ def test_marker_point_correlation_tags_and_protects(rng):
         next_seq=jnp.asarray(3, jnp.int32),
     )
     culled, n = mapping.cull_points(out)
-    valid = np.asarray(culled.pt_valid[:n_pts])
-    assert valid[:3].all(), valid
-    assert not valid[3:].any(), valid
+    assert not np.asarray(culled.pt_valid[:n_pts]).any()
+    # a recycled slot must start with a clean tag: allocate new points into
+    # the freed slots and check pt_aruco resets to -1
+    kf_new = 1
+    culled = culled._replace(
+        kf_valid=culled.kf_valid.at[kf_new].set(True),
+    )
+    good = jnp.zeros((cfg.orb.num_features,), bool).at[:2].set(True)
+    xyz = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 4.0]),
+                           (cfg.orb.num_features, 3))
+    prev_idx = jnp.zeros((cfg.orb.num_features,), jnp.int32)
+    nb = jnp.zeros((cfg.orb.num_features,), jnp.int32)
+    alloc, n2 = mapping._allocate_points(
+        culled, jnp.asarray(kf_new), nb, prev_idx, good, xyz, cam, cfg,
+        max_new=8,
+    )
+    newly = np.asarray(alloc.pt_valid) & ~np.asarray(culled.pt_valid)
+    assert newly.any()
+    assert (np.asarray(alloc.pt_aruco)[newly] == -1).all()

@@ -11,11 +11,7 @@ import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-import jax
-
-jax.config.update("jax_platforms", "cpu")
-
-import numpy as np  # noqa: E402
+import numpy as np
 
 
 def bench_scene():
@@ -58,6 +54,12 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="/tmp/bench_map")
     args = ap.parse_args()
+
+    # CPU-only here (the map BUILD is compile-heavy; TPU profiling loads the
+    # checkpoint instead). Must NOT run at import: tools/prof_loc_variants
+    # imports bench_scene() and needs the real TPU backend.
+    import jax
+    jax.config.update("jax_platforms", "cpu")
 
     from orb_slam2_aruco_tpu.pipeline.system import SlamSystem, TrackingState
 

@@ -38,7 +38,6 @@ def main():
     variants = [
         ("baseline C=4096 seed 2x6", {}),
         ("C=2048", dict(local_map_candidates=2048)),
-        ("C=1024", dict(local_map_candidates=1024)),
         ("seed 1x4", dict(seed_rounds=1, seed_iters=4)),
         ("C=2048 + seed 1x4",
          dict(local_map_candidates=2048, seed_rounds=1, seed_iters=4)),
