@@ -83,6 +83,12 @@ class ArucoConfig:
                                       # ms/frame detect on v5e). Auto-falls
                                       # back to interpret mode off-TPU.
     min_quad_side_px: float = 10.0
+    refine_samples: int = 16          # CORNER_LINES: edge points per side
+    refine_search: int = 11           # ... gradient probes per edge point
+    refine_radius: float = 2.5        # ... probe span (px) along the normal
+                                      # (bilinear gathers are the refine
+                                      # stage's cost: samples*search*4 per
+                                      # marker side)
     edge_weight: float = 25.0         # info = w * I2 on corner edges (Optimizer.cc:179)
     corner_huber_delta: float = 2.4477  # sqrt(5.991)
     well_tracked_reproj_err: float = 2.0   # IsArucoWellTrack gate (Tracking.cc:1062)
@@ -142,6 +148,31 @@ class TrackingConfig:
                                       # steady-state tracking). False = the
                                       # fully sequential reference-ordered
                                       # cascade.
+    loc_seed_mode: str = "scan"       # localization-chunk stage-1 seeding:
+                                      # "scan" = sequential motion-model
+                                      # cascade (frame i+1 seeds from frame
+                                      # i's pose — reference-ordered);
+                                      # "extrapolate" = NO sequential pass:
+                                      # every frame seeds from the previous
+                                      # chunk's velocity extrapolation,
+                                      # overridden per-frame by an absolute
+                                      # marker pose candidate when one is
+                                      # visible, then matches the local map
+                                      # directly at a widened radius — the
+                                      # whole chunk becomes two vmapped
+                                      # passes. A frame whose seed was too
+                                      # far off fails its inlier gate and
+                                      # the stream's rewind path replays it
+                                      # sequentially (results equal the
+                                      # scan path whenever tracking holds).
+    loc_extrap_radius_scale: float = 2.5   # widened pass-1 search radius
+                                      # multiplier for extrapolate mode
+    loc_extrap_passes: int = 2        # 2 = wide seed pass + standard refine
+                                      # pass (matches the scan path's final
+                                      # accuracy contract); 1 = the wide
+                                      # pass IS the final pose — halves the
+                                      # cascade for serving workloads that
+                                      # tolerate the wide-window match set
     local_map_candidates: int = 4096  # static cap for the compacted local-map
                                       # point set in track_local_map; the
                                       # [C, N] window-matching passes are the

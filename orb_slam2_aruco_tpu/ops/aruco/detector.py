@@ -295,46 +295,108 @@ def quad_candidates(binary, max_quads: int, min_area: float = 64.0,
     return quads, vals, valid
 
 
-def _bilinear_sample(img, x, y):
-    h, w = img.shape
-    x0 = jnp.clip(jnp.floor(x).astype(jnp.int32), 0, w - 2)
-    y0 = jnp.clip(jnp.floor(y).astype(jnp.int32), 0, h - 2)
-    fx = jnp.clip(x - x0, 0.0, 1.0)
-    fy = jnp.clip(y - y0, 0.0, 1.0)
-    flat = img.reshape(-1)
-    i00 = flat[y0 * w + x0]
-    i01 = flat[y0 * w + x0 + 1]
-    i10 = flat[(y0 + 1) * w + x0]
-    i11 = flat[(y0 + 1) * w + x0 + 1]
-    return (
-        i00 * (1 - fx) * (1 - fy)
-        + i01 * fx * (1 - fy)
-        + i10 * (1 - fx) * fy
-        + i11 * fx * fy
-    )
-
-
-def warp_quads(img, quads, grid_cells: int, cell_px: int):
-    """Fronto-parallel warp of each quad to a [G*cell_px]^2 patch.
-    quads [K, 4, 2] are the OUTER border corners; the unit square maps to the
-    full marker including border. Returns [K, S, S] samples."""
+def _quad_sample_points(quads, grid_cells: int, cell_px: int):
+    """Full-res sample coordinates of the fronto-parallel warp grid:
+    [K, S*S] x/y for an SxS grid over each quad (S = grid_cells*cell_px)."""
     K = quads.shape[0]
     S = grid_cells * cell_px
-    # canonical square corners (0,0)->(1,0)->(1,1)->(0,1) map to quad corners
     src = jnp.asarray(
         [[0.0, 0.0], [1.0, 0.0], [1.0, 1.0], [0.0, 1.0]], dtype=jnp.float32
     )
     src = jnp.broadcast_to(src, (K, 4, 2))
     H = homography_4pt(src, quads)  # unit square -> image
-    # sample at cell centers of an SxS grid over the unit square
     u = (jnp.arange(S, dtype=jnp.float32) + 0.5) / S
     uu, vv = jnp.meshgrid(u, u, indexing="xy")
-    grid = jnp.stack([uu, vv, jnp.ones_like(uu)], axis=-1).reshape(-1, 3)  # [S*S, 3]
+    grid = jnp.stack([uu, vv, jnp.ones_like(uu)], axis=-1).reshape(-1, 3)
     pts = jnp.einsum("kij,nj->kni", H, grid)
     zs = jnp.where(jnp.abs(pts[..., 2]) < 1e-9, 1e-9, pts[..., 2])
-    px = pts[..., 0] / zs
-    py = pts[..., 1] / zs
-    samp = jax.vmap(lambda x, y: _bilinear_sample(img, x, y))(px, py)
+    return pts[..., 0] / zs, pts[..., 1] / zs
+
+
+def _pool2(img):
+    h, w = img.shape
+    return img[: (h // 2) * 2, : (w // 2) * 2].reshape(
+        h // 2, 2, w // 2, 2
+    ).mean(axis=(1, 3))
+
+
+def sample_batched_mxu(img, px, py, crop: int = 128):
+    """Batched bilinear sampling of per-batch-element LOCALIZED point sets,
+    TPU-style: per element, dynamic-slice a [crop, crop] window (from a
+    full / half / quarter mip level chosen by the points' extent) and
+    evaluate all its samples as two banded matmuls
+        samp = ((Wy @ window) * Wx).sum(-1),
+    where Wy/Wx hold each sample's two bilinear row/column taps. Scattered
+    per-pixel gathers — XLA:TPU executes them near one element per cycle,
+    which made the warp/refine stages the detector's cost — become MXU work
+    plus one windowed gather per element. Elements larger than the crop at
+    full resolution automatically sample the pooled levels (mip-style area
+    sampling, which if anything HELPS bit decoding).
+
+    img: [H, W]; px, py: [K, P] full-res coords -> [K, P] samples."""
+    K, P = px.shape
+    lv0 = img
+    lv1 = _pool2(lv0)
+    lv2 = _pool2(lv1)
+    mn_x = jnp.min(px, axis=1)
+    mx_x = jnp.max(px, axis=1)
+    mn_y = jnp.min(py, axis=1)
+    mx_y = jnp.max(py, axis=1)
+    ext = jnp.maximum(mx_x - mn_x, mx_y - mn_y) + 8.0
+    lvl = jnp.clip(
+        jnp.ceil(jnp.log2(jnp.maximum(ext / (crop - 4.0), 1e-6))), 0, 2
+    ).astype(jnp.int32)                                       # [K]
+    scale = jnp.exp2(lvl.astype(jnp.float32))                 # [K]
+    ox = jnp.floor((mn_x - 4.0) / scale)
+    oy = jnp.floor((mn_y - 4.0) / scale)
+
+    def win(level, oxl, oyl):
+        h, w = level.shape
+        oxi = jnp.clip(oxl.astype(jnp.int32), 0, max(w - crop, 0))
+        oyi = jnp.clip(oyl.astype(jnp.int32), 0, max(h - crop, 0))
+        sl = jax.vmap(
+            lambda oy_, ox_: jax.lax.dynamic_slice(
+                level, (oy_, ox_), (min(crop, h), min(crop, w))
+            )
+        )(oyi, oxi)
+        if sl.shape[1:] != (crop, crop):
+            sl = jnp.pad(sl, ((0, 0), (0, crop - sl.shape[1]),
+                              (0, crop - sl.shape[2])))
+        return sl, oxi, oyi
+
+    w0, ox0, oy0 = win(lv0, ox, oy)
+    w1, ox1, oy1 = win(lv1, ox, oy)
+    w2, ox2, oy2 = win(lv2, ox, oy)
+    window = jnp.where(
+        (lvl == 0)[:, None, None], w0,
+        jnp.where((lvl == 1)[:, None, None], w1, w2),
+    )                                                          # [K, C, C]
+    oxi = jnp.where(lvl == 0, ox0, jnp.where(lvl == 1, ox1, ox2))
+    oyi = jnp.where(lvl == 0, oy0, jnp.where(lvl == 1, oy1, oy2))
+    # local coords at the chosen level (pooled level pixel centers sit at
+    # full-res coords scale*(i+0.5)-0.5)
+    lx = jnp.clip((px + 0.5) / scale[:, None] - 0.5 - oxi[:, None],
+                  0.0, crop - 1.0)
+    ly = jnp.clip((py + 0.5) / scale[:, None] - 0.5 - oyi[:, None],
+                  0.0, crop - 1.0)
+    iota = jnp.arange(crop, dtype=jnp.float32)
+    Wy = jnp.maximum(0.0, 1.0 - jnp.abs(ly[..., None] - iota))  # [K, P, C]
+    Wx = jnp.maximum(0.0, 1.0 - jnp.abs(lx[..., None] - iota))
+    rows = jnp.einsum(
+        "kpc,kcd->kpd", Wy, window, preferred_element_type=jnp.float32
+    )
+    return jnp.sum(rows * Wx, axis=-1)                         # [K, P]
+
+
+def warp_quads(img, quads, grid_cells: int, cell_px: int):
+    """Fronto-parallel warp of each quad to a [G*cell_px]^2 patch.
+    quads [K, 4, 2] are the OUTER border corners; the unit square maps to the
+    full marker including border. Returns [K, S, S] samples (windowed-matmul
+    bilinear — see sample_batched_mxu)."""
+    K = quads.shape[0]
+    S = grid_cells * cell_px
+    px, py = _quad_sample_points(quads, grid_cells, cell_px)
+    samp = sample_batched_mxu(img, px, py)
     return samp.reshape(K, S, S)
 
 
@@ -498,8 +560,8 @@ def refine_corners_lines(img, corners, n_samples: int = 16, search_r: float = 2.
         pts[:, :, :, None, :]
         + offs[None, None, None, :, None] * normal[:, :, None, None, :]
     )  # [K, 4, S, n_search, 2]
-    flatxy = samp_xy.reshape(-1, 2)
-    vals = _bilinear_sample(img, flatxy[:, 0], flatxy[:, 1]).reshape(
+    flatxy = samp_xy.reshape(K, -1, 2)
+    vals = sample_batched_mxu(img, flatxy[..., 0], flatxy[..., 1]).reshape(
         K, 4, n_samples, n_search
     )
     # gradient magnitude along the normal (central differences over offsets)

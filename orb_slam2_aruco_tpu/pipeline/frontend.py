@@ -123,7 +123,11 @@ def make_frame(img, cam: Camera, cfg: SlamConfig) -> Frame:
     score = jnp.where(det.valid, 1.0, 0.0)
     _, order = jax.lax.top_k(score, A)
     ids = det.ids[order]
-    corners = detector.refine_corners_lines(gray, det.corners[order])
+    corners = detector.refine_corners_lines(
+        gray, det.corners[order],
+        n_samples=acfg.refine_samples, search_r=acfg.refine_radius,
+        n_search=acfg.refine_search,
+    )
     valid = det.valid[order]
     corners_un = cam_mod.undistort_pixels(cam, corners)
     xn = cam_mod.pixels_to_normalized(cam, corners_un)

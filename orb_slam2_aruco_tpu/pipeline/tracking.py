@@ -371,7 +371,7 @@ def reloc_pnp(state: MapState, frame: Frame, slots, kf: jnp.ndarray,
     return TrackResult(opt.Rcw, opt.tcw, obs_out, n, res.n_inliers)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
+@functools.partial(jax.jit, static_argnames=("cfg", "radius_scale"))
 def track_local_map(
     state: MapState,
     frame: Frame,
@@ -382,6 +382,7 @@ def track_local_map(
     cfg: SlamConfig,
     old=None,
     pt_candidates=None,     # [L] bool — the LOCAL map (None = all points)
+    radius_scale: float = 1.0,   # widened windows for coarse seeds
 ) -> TrackResult:
     """Search unmatched map points by projection and re-optimize
     (TrackLocalMap + SearchLocalPoints). `pt_candidates` restricts the search
@@ -434,7 +435,7 @@ def track_local_map(
     feat_free = frame.kp_valid & (obs_point < 0)
     m = matching.match_in_window(
         state.pt_desc[cidx], frame.desc, uv_pred[cidx], frame.kp_uv,
-        radius=cfg.matcher.search_radius_map
+        radius=cfg.matcher.search_radius_map * radius_scale
         * (sf ** oct_pred[cidx].astype(jnp.float32)),
         mask_a=csel, mask_b=feat_free,
         octave_a=oct_pred[cidx], octave_b=frame.kp_octave,
@@ -508,6 +509,94 @@ def track_batch(
     exactly this localization phase (mono_cvcam.cc:183-235).
     Returns (ctrls [B, 17], final carry)."""
     frames = jax.vmap(lambda im: make_frame(im, cam, cfg))(imgs)
+
+    if cfg.tracking.loc_two_stage and cfg.tracking.loc_seed_mode == "extrapolate":
+        # ---- extrapolated chunk: ZERO sequential passes ------------------
+        # Seeds come from composing the previous chunk's one-frame velocity
+        # i+1 times (a 16-step scan of 3x3 composes — microseconds), with a
+        # per-frame ABSOLUTE marker pose candidate overriding whenever a
+        # well-tracked marker is visible (markers bound the extrapolation
+        # error regardless of chunk length — this is the marker-SLAM serving
+        # case). Each frame then matches the map DIRECTLY at a widened
+        # radius and refines; the standard local-map refine pass follows.
+        # Both passes are vmapped across the chunk: unlike the "scan" mode
+        # there is no sequential stage at all, which removes the cascade's
+        # dominant latency-bound cost. Frames whose seed was still too far
+        # off fail the inlier gate in ctrl and the stream's rewind machinery
+        # replays them through the per-frame path (localize_stream).
+        B = imgs.shape[0]
+
+        def vel_step(carry, _):
+            Rp, tp = carry
+            Rn, tn = se3_compose(vel_R, vel_t, Rp, tp)
+            return (Rn, tn), (Rn, tn)
+
+        _, (R_ex, t_ex) = jax.lax.scan(
+            vel_step, (R_last, t_last), None, length=B
+        )
+        R_seed = jnp.where(has_vel, R_ex,
+                           jnp.broadcast_to(R_last, R_ex.shape))
+        t_seed = jnp.where(has_vel, t_ex,
+                           jnp.broadcast_to(t_last, t_ex.shape))
+
+        def seed_one(frame, Rp, tp):
+            slots = bind_markers(state, frame)
+            old = old_marker_flags(state, slots,
+                                   cfg.loop.min_kfs_between_loops)
+            ok_a, R_a, t_a, _ = aruco_pose_candidate(
+                state, frame, slots, cam, cfg, old=old
+            )
+            R0 = jnp.where(ok_a, R_a, Rp)
+            t0 = jnp.where(ok_a, t_a, tp)
+            no_obs = jnp.full((frame.kp_uv.shape[0],), -1, jnp.int32)
+            tr1, (vis1, found1) = track_local_map(
+                state, frame, slots, R0, t0, no_obs, cam, cfg, old=old,
+                radius_scale=cfg.tracking.loc_extrap_radius_scale,
+            )
+            need_ref = tr1.n_inliers < cfg.tracking.min_inliers_track
+            return (TrackResult(tr1.Rcw, tr1.tcw, tr1.obs_point,
+                                tr1.n_inliers, tr1.n_matches),
+                    slots, old, ok_a, need_ref, vis1, found1)
+
+        trs, slots_b, old_b, oka_b, needref_b, vis_b, found_b = jax.vmap(
+            seed_one
+        )(frames, R_seed, t_seed)
+        if cfg.tracking.loc_extrap_passes <= 1:
+            # the wide pass is final: assemble the FullTrackResult/ctrl
+            # without a second local-map search (the pass-1 optimize already
+            # is a full local-map refinement, just with wider match windows)
+            outs = jax.vmap(
+                lambda frame, tr, slots, old, ok_a, need_ref, vis1, found1:
+                _result_from_track(state, frame, tr, slots, old, ok_a,
+                                   need_ref, ref_kf, cfg, vis1, found1)
+            )(frames, trs, slots_b, old_b, oka_b, needref_b, vis_b, found_b)
+        else:
+            outs = jax.vmap(
+                lambda frame, tr, slots, old, ok_a, need_ref: _cascade_refine(
+                    state, frame, tr, slots, old, ok_a, need_ref, ref_kf,
+                    cam, cfg,
+                )
+            )(frames, trs, slots_b, old_b, oka_b, needref_b)
+
+        vis = state.pt_visible + jnp.sum(
+            outs.pt_visible - state.pt_visible[None], axis=0
+        )
+        found = state.pt_found + jnp.sum(
+            outs.pt_found - state.pt_found[None], axis=0
+        )
+        lastf = jax.tree_util.tree_map(lambda a: a[B - 1], frames)
+        R_prev = outs.Rcw[B - 2] if B >= 2 else R_last
+        t_prev = outs.tcw[B - 2] if B >= 2 else t_last
+        Rp_inv, tp_inv = se3_inverse(R_prev, t_prev)
+        vR2, vt2 = se3_compose(outs.Rcw[B - 1], outs.tcw[B - 1],
+                               Rp_inv, tp_inv)
+        ok_last = outs.n_inliers[B - 1] >= cfg.tracking.min_matches_local_map
+        carry = (
+            outs.Rcw[B - 1], outs.tcw[B - 1], vR2, vt2, ok_last,
+            lastf.kp_uv, lastf.desc, outs.obs_point[B - 1], lastf.kp_valid,
+            lastf.kp_octave, lastf.kp_angle, vis, found,
+        )
+        return outs.ctrl, carry
 
     if cfg.tracking.loc_two_stage:
         # ---- two-stage chunk: sequential seeds, batched refinement ------
@@ -698,6 +787,55 @@ def track_full(
     )
     return _cascade_refine(state, frame, tr, slots, old, ok_a, need_ref,
                            ref_kf, cam, cfg)
+
+
+def _result_from_track(
+    state: MapState,
+    frame: Frame,
+    tr,                     # TrackResult of an already-final local-map pass
+    slots, old, ok_a, need_ref,
+    ref_kf,
+    cfg: SlamConfig,
+    pt_visible, pt_found,
+) -> FullTrackResult:
+    """Assemble a FullTrackResult/ctrl from a finished local-map track —
+    the bookkeeping half of _cascade_refine without a second search pass
+    (extrapolate mode with loc_extrap_passes=1, where the wide seed pass
+    already ran the full local-map optimization)."""
+    _, best_kf = local_point_mask(
+        state, tr.obs_point, cfg.tracking.max_local_keyframes
+    )
+    any_new = jnp.any(frame.mk_good & frame.mk_valid & (slots < 0))
+    ref_kf = jnp.where(best_kf >= 0, best_kf, ref_kf)
+    ref_obs = state.kf_obs_point[ref_kf]
+    ref_obs_safe = jnp.maximum(ref_obs, 0)
+    ref_pt_ok = (ref_obs >= 0) & state.pt_valid[ref_obs_safe]
+    obs_count = jnp.sum(
+        (state.pt_obs_kf & state.kf_valid[None, :]).astype(jnp.int32), axis=1
+    )
+    ref_cnt = obs_count[ref_obs_safe]
+    n_ref3 = jnp.sum((ref_pt_ok & (ref_cnt >= 3)).astype(jnp.int32))
+    n_ref2 = jnp.sum((ref_pt_ok & (ref_cnt >= 2)).astype(jnp.int32))
+    ctrl = jnp.concatenate([
+        jnp.stack([
+            tr.n_inliers.astype(jnp.float32),
+            tr.n_inliers.astype(jnp.float32),
+            ok_a.astype(jnp.float32),
+            need_ref.astype(jnp.float32),
+            any_new.astype(jnp.float32),
+        ]),
+        tr.Rcw.reshape(9),
+        tr.tcw,
+        jnp.stack([n_ref3.astype(jnp.float32), n_ref2.astype(jnp.float32),
+                   ref_kf.astype(jnp.float32)]),
+    ])
+    return FullTrackResult(
+        Rcw=tr.Rcw, tcw=tr.tcw, obs_point=tr.obs_point,
+        n_inliers=tr.n_inliers, n_first_stage=tr.n_inliers,
+        used_aruco=ok_a, used_ref_kf=need_ref, slots=slots, old_flags=old,
+        any_new_marker=any_new, pt_visible=pt_visible, pt_found=pt_found,
+        ctrl=ctrl,
+    )
 
 
 def _cascade_refine(

@@ -209,3 +209,38 @@ def test_pipelined_lost_rewind_and_recovery(sequence):
     assert len(fids) == 17
     lost = [r for r in slam.trajectory if r.state is TrackingState.LOST]
     assert len(lost) >= 2          # the blacked-out frames
+
+
+def test_extrapolate_mode_matches_sequential(sequence):
+    """loc_seed_mode='extrapolate' (no sequential stage at all: velocity-
+    extrapolated seeds with per-frame absolute marker overrides, two vmapped
+    local-map passes) must land on the same per-frame poses as the
+    reference-ordered sequential cascade on a tracking-holds sequence — each
+    frame still ends on its own full local-map optimization, only the seed
+    construction differs."""
+    import copy
+    import dataclasses as _dc
+
+    world, poses, imgs, cfg = sequence
+    slam = SlamSystem(cfg.replace(
+        tracking=_dc.replace(cfg.tracking, loc_seed_mode="extrapolate")))
+    for i, img in enumerate(imgs):
+        slam.track_monocular(img, ts=i / 30.0)
+    assert slam.state is TrackingState.OK
+    slam.activate_localization_mode()
+    ref = copy.copy(slam)
+    ref.trajectory = list(slam.trajectory)
+    ref.stats = dict(slam.stats)
+    ref.cfg = ref.cfg.replace(
+        tracking=_dc.replace(ref.cfg.tracking, loc_two_stage=False,
+                             loc_seed_mode="scan"))
+
+    seq = [ref.track_monocular(im, ts=0.0) for im in imgs[:8]]
+    ex = list(slam.localize_stream(((im, 0.0) for im in imgs[:8]), chunk=8))
+    assert len(ex) == 8
+    for (fid, ts, p), q in zip(ex, seq):
+        assert p is not None and q is not None
+        np.testing.assert_allclose(np.asarray(p[0]), np.asarray(q[0]),
+                                   atol=3e-2)
+        np.testing.assert_allclose(np.asarray(p[1]), np.asarray(q[1]),
+                                   atol=5e-2)

@@ -36,15 +36,20 @@ def main():
     nf = frames.shape[0]
 
     variants = [
-        ("baseline C=4096 seed 2x6", {}),
-        ("C=2048", dict(local_map_candidates=2048)),
-        ("seed 1x4", dict(seed_rounds=1, seed_iters=4)),
-        ("C=2048 + seed 1x4",
-         dict(local_map_candidates=2048, seed_rounds=1, seed_iters=4)),
+        ("scan/16", {}, 16),
+        ("extrap p2/16", dict(loc_seed_mode="extrapolate"), 16),
+        ("extrap p1/16",
+         dict(loc_seed_mode="extrapolate", loc_extrap_passes=1), 16),
+        ("extrap p1/32",
+         dict(loc_seed_mode="extrapolate", loc_extrap_passes=1), 32),
     ]
 
-    for name, tweaks in variants:
-        cfg = cfg0.replace(tracking=cfg0.tracking.__class__(**tweaks))
+    import dataclasses
+    for name, tweaks, chunk in variants:
+        args.chunk = chunk
+        cfg = cfg0.replace(
+            tracking=dataclasses.replace(cfg0.tracking, **tweaks),
+        )
         slam = SlamSystem(cfg)
         slam.load_map(args.map + ".npz")
         slam.activate_localization_mode()
