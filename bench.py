@@ -117,7 +117,8 @@ def main():
 
     # ---- localization serving pass (headline) ----------------------------
     slam.activate_localization_mode()
-    chunk = 16
+    chunk = 32       # bigger chunks amortize the per-chunk dispatch +
+                     # control-readback overhead the pipelining cannot hide
     # warm up the stream program
     list(slam.localize_stream(
         StagedSource([(frames[k % n_frames], 0.0) for k in range(chunk)]),

@@ -87,11 +87,18 @@ def _moment_kernels_patch32():
 def keypoint_angles(img, xy):
     """IC angles at keypoint positions (reference IC_Angle,
     ORBextractor.cc:77-104). xy [N, 2] (x, y) float."""
-    n = xy.shape[0]
-    patches = extract_patches(img, xy).reshape(n, -1)
+    return angles_from_patches(extract_patches(img, xy))
+
+
+def angles_from_patches(patches):
+    """IC angle from pre-extracted [N, 32, 32] patches — patch extraction
+    (a windowed gather) is the expensive part on TPU, so callers that also
+    compute descriptors extract ONCE and feed both stages (frontend)."""
+    n = patches.shape[0]
     kx, ky = _moment_kernels_patch32()
-    m10 = patches @ jnp.asarray(kx)
-    m01 = patches @ jnp.asarray(ky)
+    flat = patches.reshape(n, -1)
+    m10 = flat @ jnp.asarray(kx)
+    m01 = flat @ jnp.asarray(ky)
     return jnp.arctan2(m01, m10)
 
 
@@ -101,15 +108,22 @@ _PATCH_C = 16.0      # patch-local coordinates of the keypoint
 
 
 @lru_cache(maxsize=1)
-def _steered_sample_tables():
-    """[ANGLE_BINS, 512, 1024] bilinear sampling matrices: row (b, k) holds
-    the 4-tap bilinear weights that read pattern point k rotated by angle bin
-    b out of a flattened 32x32 patch. Turns steered-BRIEF sampling into one
-    MXU matmul — XLA's random-index gathers serialize on TPU (~1 us/element,
-    i.e. seconds per frame for 512 samples x 1000 keypoints x 8 levels)."""
+def _steered_sep_tables():
+    """Separable steered-BRIEF bilinear taps: ([B, 512, 32], [B, 512, 32])
+    row/column 2-tap weight tables per angle bin. A bilinear read is the
+    outer product of its row and column taps, so sampling all 512 pattern
+    points of keypoint n at ITS angle bin is
+        tmp = Wy[bin_n] @ patch_n        ([512, 32] @ [32, 32], MXU)
+        s   = sum(tmp * Wx[bin_n], -1)
+    — exact 4-tap bilinear, but ~0.5 MFLOP per keypoint instead of the
+    33 MFLOP of the earlier all-bins [B*512, 1024] contraction (which
+    computed every angle bin and then kept one: a 32x waste that made
+    descriptor extraction the frontend's dominant cost). Random-index
+    gathers stay out of the picture — XLA:TPU serializes them."""
     pat = brief_pattern()  # [256, 4]
     pts = np.concatenate([pat[:, :2], pat[:, 2:]], axis=0)  # [512, 2] (x, y)
-    tables = np.zeros((ANGLE_BINS, 512, _PATCH * _PATCH), np.float32)
+    Wy = np.zeros((ANGLE_BINS, 512, _PATCH), np.float32)
+    Wx = np.zeros((ANGLE_BINS, 512, _PATCH), np.float32)
     for b in range(ANGLE_BINS):
         th = 2.0 * np.pi * b / ANGLE_BINS
         c, s = np.cos(th), np.sin(th)
@@ -121,22 +135,32 @@ def _steered_sample_tables():
         y0 = np.clip(np.floor(ry).astype(int), 0, _PATCH - 2)
         fx = np.clip(rx - x0, 0.0, 1.0)
         fy = np.clip(ry - y0, 0.0, 1.0)
-        for k in range(512):
-            base = y0[k] * _PATCH + x0[k]
-            tables[b, k, base] += (1 - fx[k]) * (1 - fy[k])
-            tables[b, k, base + 1] += fx[k] * (1 - fy[k])
-            tables[b, k, base + _PATCH] += (1 - fx[k]) * fy[k]
-            tables[b, k, base + _PATCH + 1] += fx[k] * fy[k]
+        k = np.arange(512)
+        Wx[b, k, x0] = 1.0 - fx
+        Wx[b, k, x0 + 1] = fx
+        Wy[b, k, y0] = 1.0 - fy
+        Wy[b, k, y0 + 1] = fy
     # numpy, not jnp: see _moment_kernels
-    return np.asarray(tables, dtype=np.float32)
+    return Wy, Wx
 
 
 def extract_patches(img, xy, patch: int = _PATCH):
-    """[N, patch, patch] patches centered (top-left at kp - patch/2) via
-    vmapped dynamic_slice — contiguous sliced gathers, TPU-fast."""
+    """[N, patch, patch] patches (top-left at kp - patch/2). On TPU this is
+    a Pallas kernel (level in VMEM, per-keypoint VMEM copies driven by
+    scalar-prefetched coords — ops/pallas_patches.py): XLA's lowering of a
+    dynamic-slice batch is a windowed gather that measured ~1.4 ms/frame
+    over the 8-level pyramid. Elsewhere: plain vmapped dynamic_slice."""
     h, w = img.shape
     x0 = jnp.clip(jnp.round(xy[:, 0]).astype(jnp.int32) - patch // 2, 0, w - patch)
     y0 = jnp.clip(jnp.round(xy[:, 1]).astype(jnp.int32) - patch // 2, 0, h - patch)
+
+    if jax.default_backend() == "tpu":
+        from orb_slam2_aruco_tpu.ops.pallas_patches import (
+            extract_patches_pallas,
+        )
+
+        return extract_patches_pallas(img.astype(jnp.float32), y0, x0,
+                                      patch=patch)
 
     def slice_one(y, x):
         return jax.lax.dynamic_slice(img, (y, x), (patch, patch))
@@ -146,25 +170,26 @@ def extract_patches(img, xy, patch: int = _PATCH):
 
 def describe(img_blurred, xy, angles):
     """256-bit rotated BRIEF. img_blurred [H, W]; xy [N, 2]; angles [N].
-
-    Patch extraction + per-angle-bin bilinear sampling matrices: the
-    N x (BINS*512) x 1024 contraction runs on the MXU; the only gathers are
-    contiguous patch slices and a small take_along_axis over the bin axis.
     Returns packed descriptors [N, 8] uint32."""
-    n = xy.shape[0]
-    patches = extract_patches(img_blurred, xy).reshape(n, _PATCH * _PATCH)
-    tables = jnp.asarray(_steered_sample_tables(), dtype=jnp.bfloat16)
-    samples = jnp.einsum(
-        "nq,bsq->nbs",
-        patches.astype(jnp.bfloat16),
-        tables,
-        preferred_element_type=jnp.float32,
-    )  # [N, B, 512]
+    return describe_patches(extract_patches(img_blurred, xy), angles)
+
+
+def describe_patches(patches, angles):
+    """Rotated BRIEF from pre-extracted [N, 32, 32] patches (see
+    angles_from_patches for why callers pre-extract)."""
+    n = patches.shape[0]
+    Wy_np, Wx_np = _steered_sep_tables()
     bins = jnp.mod(
         jnp.round(angles * (ANGLE_BINS / (2.0 * jnp.pi))).astype(jnp.int32),
         ANGLE_BINS,
     )
-    sel = jnp.take_along_axis(samples, bins[:, None, None], axis=1)[:, 0]
+    Wy = jnp.asarray(Wy_np, dtype=jnp.bfloat16)[bins]          # [N, 512, 32]
+    Wx = jnp.asarray(Wx_np, dtype=jnp.bfloat16)[bins]
+    tmp = jnp.einsum(
+        "nsr,nrc->nsc", Wy, patches.astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    )                                                          # [N, 512, 32]
+    sel = jnp.sum(tmp * Wx.astype(jnp.float32), axis=-1)       # [N, 512]
     bits = (sel[:, :256] < sel[:, 256:]).astype(jnp.uint32)
     return pack_bits(bits)
 

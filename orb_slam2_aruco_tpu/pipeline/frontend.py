@@ -86,8 +86,17 @@ def make_frame(img, cam: Camera, cfg: SlamConfig) -> Frame:
             edge_margin=ocfg.patch_radius + 1,
         )
         blurred = image.gaussian_blur(lvl_img, ocfg.blur_ksize, ocfg.blur_sigma)
-        ang = orb.keypoint_angles(lvl_img, kp.xy)
-        d = orb.describe(blurred, kp.xy, ang)
+        # ONE patch extraction per keypoint (the windowed gather is the
+        # dominant ORB cost on TPU): the blurred patch feeds both the IC
+        # angle and the descriptor. The reference computes IC_Angle on the
+        # unblurred level (ORBextractor.cc:1105 computes descriptors on the
+        # blurred copy only); the 2-px Gaussian shifts the intensity
+        # centroid negligibly, and the engine is self-consistent end to end
+        # (own vocabulary + matching), so cross-impl bit parity is not a
+        # goal (ops/orb.py module docstring).
+        patches = orb.extract_patches(blurred, kp.xy)
+        ang = orb.angles_from_patches(patches)
+        d = orb.describe_patches(patches, ang)
         scale_l = ocfg.scale_factor**l
         xs.append(kp.xy * scale_l)
         octs.append(jnp.full((quota,), l, jnp.int32))

@@ -162,3 +162,30 @@ def test_rotation_consistency_filters_outliers(rng):
     ok = np.asarray(out.valid)
     assert ok[5:].all()
     assert ok[:5].sum() <= 1
+
+
+def test_pallas_patch_extraction_matches_dynamic_slice(rng):
+    """The Pallas patch-extraction kernel (ops/pallas_patches.py, TPU path
+    of orb.extract_patches) must reproduce the vmapped-dynamic_slice
+    reference exactly, including unaligned offsets and border clipping."""
+    import jax
+    import jax.numpy as jnp
+
+    from orb_slam2_aruco_tpu.ops.pallas_patches import extract_patches_pallas
+
+    img = jnp.asarray(rng.uniform(0, 255, (123, 217)).astype(np.float32))
+    # include aligned, unaligned, and border-clipped offsets
+    y0 = jnp.asarray(
+        np.concatenate([[0, 8, 91, 90], rng.integers(0, 123 - 32, 28)]),
+        jnp.int32,
+    )
+    x0 = jnp.asarray(
+        np.concatenate([[0, 128, 185, 1], rng.integers(0, 217 - 32, 28)]),
+        jnp.int32,
+    )
+    out = extract_patches_pallas(img, y0, x0, interpret=True)
+    ref = jnp.stack([
+        jax.lax.dynamic_slice(img, (int(y), int(x)), (32, 32))
+        for y, x in zip(y0, x0)
+    ])
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref))
