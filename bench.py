@@ -89,7 +89,7 @@ def main():
     # ---- SLAM-mode pass (map building) -----------------------------------
     slam = SlamSystem(cfg)
     for i, (img, ts) in enumerate(
-        StagedSource([(f, k / 30.0) for k, f in enumerate(frames)])
+        StagedSource([(f, k / 30.0) for k, f in enumerate(frames)], batch=4)
     ):                                        # warm up all jit paths
         slam.track_monocular(img, ts=ts)
     slam.flush()
@@ -98,7 +98,8 @@ def main():
     slam2 = SlamSystem(cfg)
     lat = []
     t_all0 = time.perf_counter()
-    for img, ts in StagedSource([(f, k / 30.0) for k, f in enumerate(frames)]):
+    for img, ts in StagedSource([(f, k / 30.0) for k, f in enumerate(frames)],
+                                batch=4):
         t0 = time.perf_counter()
         slam2.track_monocular(img, ts=ts)
         lat.append(time.perf_counter() - t0)
@@ -121,12 +122,14 @@ def main():
                      # control-readback overhead the pipelining cannot hide
     # warm up the stream program
     list(slam.localize_stream(
-        StagedSource([(frames[k % n_frames], 0.0) for k in range(chunk)]),
+        StagedSource([(frames[k % n_frames], 0.0) for k in range(chunk)],
+                     batch=chunk),
         chunk=chunk))
     n_timed = 96
     t0 = time.perf_counter()
     out = list(slam.localize_stream(
-        StagedSource([(frames[k % n_frames], 0.0) for k in range(n_timed)]),
+        StagedSource([(frames[k % n_frames], 0.0) for k in range(n_timed)],
+                     batch=chunk),
         chunk=chunk))
     dt = time.perf_counter() - t0
     assert len(out) == n_timed and all(p is not None for _, _, p in out)

@@ -180,9 +180,17 @@ class StagedSource:
     (mono_cvcam.cc:141-148) corresponds to, minus any per-frame host sync.
     uint8 staging quarters the transfer vs float32."""
 
-    def __init__(self, source, depth: int = 2):
+    def __init__(self, source, depth: int = 2, batch: int = 1):
+        """depth: in-flight QUEUE ITEMS (batches when batch > 1). batch:
+        frames per host->device transfer — on relay-attached TPUs each
+        transfer pays a round trip, so staging a whole localization chunk
+        as ONE stacked [batch, H, W] put (then yielding zero-copy device
+        slices) is dramatically cheaper than per-frame puts; match `batch`
+        to the consumer's chunk size and keep depth >= 2 so the next
+        chunk's transfer fully overlaps the current chunk's compute."""
         self.source = source
         self.depth = max(1, int(depth))
+        self.batch = max(1, int(batch))
 
     def __iter__(self):
         import queue as _queue
@@ -193,13 +201,30 @@ class StagedSource:
         q: "_queue.Queue" = _queue.Queue(maxsize=self.depth)
         _END = object()
 
+        def to_u8(frame):
+            arr = np.ascontiguousarray(frame)
+            if arr.dtype != np.uint8:
+                arr = np.clip(arr, 0, 255).astype(np.uint8)
+            return arr
+
         def producer():
             try:
-                for frame, ts in self.source:
-                    arr = np.ascontiguousarray(frame)
-                    if arr.dtype != np.uint8:
-                        arr = np.clip(arr, 0, 255).astype(np.uint8)
-                    q.put((jax.device_put(arr), ts))
+                if self.batch == 1:
+                    for frame, ts in self.source:
+                        q.put((jax.device_put(to_u8(frame)), ts))
+                else:
+                    buf = []
+                    for frame, ts in self.source:
+                        buf.append((to_u8(frame), ts))
+                        if len(buf) == self.batch:
+                            stack = jax.device_put(
+                                np.stack([f for f, _ in buf])
+                            )
+                            q.put((stack, [t for _, t in buf]))
+                            buf = []
+                    if buf:
+                        stack = jax.device_put(np.stack([f for f, _ in buf]))
+                        q.put((stack, [t for _, t in buf]))
             finally:
                 q.put(_END)
 
@@ -209,5 +234,10 @@ class StagedSource:
             item = q.get()
             if item is _END:
                 break
-            yield item
+            if self.batch == 1:
+                yield item
+            else:
+                stack, ts_list = item
+                for i, ts in enumerate(ts_list):
+                    yield stack[i], ts
         t.join()

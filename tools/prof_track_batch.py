@@ -26,11 +26,16 @@ def main():
     from orb_slam2_aruco_tpu.pipeline import tracking
     from orb_slam2_aruco_tpu.pipeline.frontend import make_frame
 
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--b", type=int, default=16)
+    args, _ = ap.parse_known_args()
     cfg0, frames_np = bench_scene()
     cam = cam_mod.camera_from_config(cfg0.camera)
     state = checkpoint.load_map("/tmp/bench_map.npz")
-    B = 16
-    imgs = jnp.stack([jnp.asarray(f) for f in frames_np[:B]])
+    B = args.b
+    imgs = jnp.stack([jnp.asarray(frames_np[i % len(frames_np)])
+                      for i in range(B)])
     jax.block_until_ready(imgs)
 
     R0 = state.kf_Rcw[0]
