@@ -335,16 +335,25 @@ def sample_batched_mxu(img, px, py, crop: int = 128):
 
     img: [H, W]; px, py: [K, P] full-res coords -> [K, P] samples."""
     K, P = px.shape
-    lv0 = img
-    lv1 = _pool2(lv0)
-    lv2 = _pool2(lv1)
+    # enough pooled levels that the COARSEST covers a quad spanning the whole
+    # image: (crop-4) * 2^(n-1) >= max(H, W) + pad. With the former fixed 3
+    # levels, a close marker filling a 960x540 frame (extent > 496 px)
+    # silently clamped its sample coords into the window and decoded garbage.
+    need = float(max(img.shape)) + 8.0
+    n_levels = 1
+    while (crop - 4.0) * (2.0 ** (n_levels - 1)) < need:
+        n_levels += 1
+    levels = [img]
+    for _ in range(n_levels - 1):
+        levels.append(_pool2(levels[-1]))
     mn_x = jnp.min(px, axis=1)
     mx_x = jnp.max(px, axis=1)
     mn_y = jnp.min(py, axis=1)
     mx_y = jnp.max(py, axis=1)
     ext = jnp.maximum(mx_x - mn_x, mx_y - mn_y) + 8.0
     lvl = jnp.clip(
-        jnp.ceil(jnp.log2(jnp.maximum(ext / (crop - 4.0), 1e-6))), 0, 2
+        jnp.ceil(jnp.log2(jnp.maximum(ext / (crop - 4.0), 1e-6))),
+        0, n_levels - 1,
     ).astype(jnp.int32)                                       # [K]
     scale = jnp.exp2(lvl.astype(jnp.float32))                 # [K]
     ox = jnp.floor((mn_x - 4.0) / scale)
@@ -364,15 +373,14 @@ def sample_batched_mxu(img, px, py, crop: int = 128):
                               (0, crop - sl.shape[2])))
         return sl, oxi, oyi
 
-    w0, ox0, oy0 = win(lv0, ox, oy)
-    w1, ox1, oy1 = win(lv1, ox, oy)
-    w2, ox2, oy2 = win(lv2, ox, oy)
-    window = jnp.where(
-        (lvl == 0)[:, None, None], w0,
-        jnp.where((lvl == 1)[:, None, None], w1, w2),
-    )                                                          # [K, C, C]
-    oxi = jnp.where(lvl == 0, ox0, jnp.where(lvl == 1, ox1, ox2))
-    oyi = jnp.where(lvl == 0, oy0, jnp.where(lvl == 1, oy1, oy2))
+    wins = [win(lv, ox, oy) for lv in levels]
+    window, oxi, oyi = wins[-1]                                # coarsest
+    for li in range(n_levels - 2, -1, -1):
+        wl, oxl, oyl = wins[li]
+        sel = lvl == li
+        window = jnp.where(sel[:, None, None], wl, window)     # [K, C, C]
+        oxi = jnp.where(sel, oxl, oxi)
+        oyi = jnp.where(sel, oyl, oyi)
     # local coords at the chosen level (pooled level pixel centers sit at
     # full-res coords scale*(i+0.5)-0.5)
     lx = jnp.clip((px + 0.5) / scale[:, None] - 0.5 - oxi[:, None],
@@ -449,6 +457,7 @@ def detect_markers(
     adaptive_win: int = 15,
     adaptive_c: float = 7.0,
     min_area: float = 100.0,
+    max_area_frac: float = 0.25,
     cell_px: int = 8,
     cc_iters: int = 0,
     downsample: int = 1,
@@ -478,21 +487,24 @@ def detect_markers(
         if use_pallas_cc:
             quads, _, qvalid = quad_candidates_fused(
                 binary_s, max_quads, min_area=min_area / (ds * ds),
+                max_area_frac=max_area_frac,
             )
         else:
             quads, _, qvalid = quad_candidates(
                 binary_s, max_quads, min_area=min_area / (ds * ds),
-                cc_iters=cc_iters,
+                max_area_frac=max_area_frac, cc_iters=cc_iters,
             )
         quads = quads * float(ds) + (ds - 1) / 2.0
     else:
         if use_pallas_cc:
             quads, _, qvalid = quad_candidates_fused(
                 binary, max_quads, min_area=min_area,
+                max_area_frac=max_area_frac,
             )
         else:
             quads, _, qvalid = quad_candidates(
-                binary, max_quads, min_area=min_area, cc_iters=cc_iters,
+                binary, max_quads, min_area=min_area,
+                max_area_frac=max_area_frac, cc_iters=cc_iters,
             )
     # reject border-touching quads: a partially visible marker can decode to
     # a DIFFERENT valid code (the reference detector likewise drops contours

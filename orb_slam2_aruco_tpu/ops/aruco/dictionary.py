@@ -17,11 +17,13 @@ Dictionaries provided:
     decodes with this engine.
   * ARUCO_MIP_25h7 — the samsung7 sequences' dictionary (reference
     README.md:12; dictionary.h:53-140). Ships the EXACT published 100-id
-    5x5 table from the public upstream ArUco 3.x release (a published
-    constant data table, BSD license), packed into
-    data/aruco_mip_25h7.npz by tools/extract_aruco_mip_25h7.py with the
-    bit convention verified against the independently cv2-sourced 36h12
-    data. Real samsung7 footage decodes with this engine. min pairwise
+    5x5 table of the upstream ArUco 3.x release (a published constant
+    data table, BSD license), packed into data/aruco_mip_25h7.npz by
+    tools/extract_aruco_mip_25h7.py — which, for want of any other copy
+    in this offline environment (cv2 has no 25h7), parses the constants
+    from the reference tree's vendored upstream aruco source; see that
+    tool's docstring for the full provenance statement. Bit convention
+    verified against the independently cv2-sourced 36h12 data. Real samsung7 footage decodes with this engine. min pairwise
     rotation-invariant Hamming distance 7 (verified), tau-based error
     correction floor((7-1)/2) = 3 at decode. If the data file is missing
     the loader falls back to a criteria-faithful regeneration

@@ -97,6 +97,11 @@ def box_filter(img, ksize: int):
     multiplies; at 960x540/win=15 the matmul form measured ~1.7 ms/frame
     faster on v5e. Edges normalize by the true in-bounds window area,
     computed analytically (no ones-image integral)."""
+    if ksize % 2 != 1:
+        raise ValueError(
+            f"box_filter needs an odd ksize (window is 2*(ksize//2)+1 wide); "
+            f"got {ksize}"
+        )
     h, w = img.shape
     r = ksize // 2
     f = img.astype(jnp.float32)
@@ -112,7 +117,10 @@ def box_filter(img, ksize: int):
         return (jnp.minimum(i + r, n - 1) - jnp.maximum(i - r, 0)) + 1.0
 
     cnt = extent(h)[:, None] * extent(w)[None, :]
-    return (s / cnt).astype(img.dtype)
+    mean = s / cnt
+    # keep float means for integer inputs: casting back would truncate
+    return mean if jnp.issubdtype(img.dtype, jnp.integer) else \
+        mean.astype(img.dtype)
 
 
 def to_gray(img):

@@ -507,7 +507,8 @@ def track_batch(
     runs as a lax.scan. No host round trip per frame — the dispatch+readback
     latency amortizes over the chunk. The reference's two-pass CLI drives
     exactly this localization phase (mono_cvcam.cc:183-235).
-    Returns (ctrls [B, 17], final carry)."""
+    Returns (ctrls [B, 20], final carry) — ctrl layout per
+    FullTrackResult.ctrl: 5 flags, Rcw (9), tcw (3), 3 tail."""
     frames = jax.vmap(lambda im: make_frame(im, cam, cfg))(imgs)
 
     if cfg.tracking.loc_two_stage and cfg.tracking.loc_seed_mode == "extrapolate":

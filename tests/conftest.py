@@ -15,6 +15,8 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+import atexit
+import shutil
 import tempfile
 
 import jax  # noqa: E402
@@ -29,9 +31,18 @@ jax.config.update("jax_platforms", "cpu")
 # per-module jax.clear_caches() below — recompiles across test modules
 # with the same config become disk hits, which is most of the suite's
 # former wall-clock.
-jax.config.update("jax_compilation_cache_dir",
-                  tempfile.mkdtemp(prefix="jax_cache_pytest_"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+#
+# ORB_TPU_TEST_NO_PCACHE=1 disables the disk cache entirely: XLA:CPU's
+# executable DEserialization hard-aborts (CHECK failure, not a catchable
+# error) on some of the big stream programs when an entry written earlier
+# in the same run is read back — the round-4 "segfault at test 100/103".
+if os.environ.get("ORB_TPU_TEST_NO_PCACHE"):
+    jax.config.update("jax_enable_compilation_cache", False)
+else:
+    _cache_dir = tempfile.mkdtemp(prefix="jax_cache_pytest_")
+    atexit.register(shutil.rmtree, _cache_dir, ignore_errors=True)
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

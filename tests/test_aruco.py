@@ -278,3 +278,29 @@ def test_mip25h7_decodes_opencv_rendered_markers():
         )
         ids = np.asarray(det.ids)[np.asarray(det.valid)]
         assert mid in ids.tolist(), (mid, rot, ids)
+
+
+def test_detect_close_marker_large_extent():
+    """A close marker whose sample extent exceeds the former fixed 3 mip
+    levels (~496 px at crop=128) must still warp/decode correctly:
+    sample_batched_mxu now builds enough pooled levels to cover the whole
+    image instead of silently clamping coordinates into the 128 px window
+    (round-4 advisor finding, detector.py sample_batched_mxu)."""
+    cam = CameraConfig(
+        fx=500.0, fy=500.0, cx=480.0, cy=270.0, dist=(0, 0, 0, 0, 0),
+        width=960, height=540,
+    )
+    world = synthetic.build_world([42], px_per_m=1400.0, spacing=0.6,
+                                  grid_cols=1)
+    # close enough that the marker spans ~600+ px
+    Rcw, tcw = synthetic.look_at_plane_pose((0.0, 0.0), 0.16)
+    img = synthetic.render_view(world, cam, Rcw, tcw)
+    det = detector.detect_markers(jnp.asarray(img), "ARUCO", max_quads=16,
+                                  min_area=100.0, max_area_frac=0.9)
+    valid = np.asarray(det.valid)
+    ids = np.asarray(det.ids)[valid]
+    assert 42 in ids.tolist(), ids
+    # extent check: the detected quad really exercises the deep-mip path
+    q = np.asarray(det.corners)[valid][ids.tolist().index(42)]
+    ext = max(q[:, 0].max() - q[:, 0].min(), q[:, 1].max() - q[:, 1].min())
+    assert ext > 500.0, ext

@@ -1,14 +1,21 @@
 #!/usr/bin/env python
 """Pack the published ARUCO_MIP_25h7 marker table into the package data dir.
 
-Provenance: ARUCO_MIP_25h7 is a published constant table from the public
-upstream ArUco 3.x library release (Rafael Munoz-Salinas, Univ. of Cordoba,
-BSD license) — the same table OpenCV-contrib and every aruco 3.x user ships.
-This script parses the 100 x 25-bit code constants out of the vendored
-upstream source (Thirdparty/aruco/aruco/dictionary.cpp, `case
-ARUCO_MIP_25h7`) rather than hard-coding them here, and converts each uint64
-code to a 5x5 bit matrix. This is DATA extraction (public constants), not
-code translation; the decode pipeline (ops/aruco/detector.py) is independent.
+Provenance — stated plainly: the bytes are parsed out of
+/root/reference/Thirdparty/aruco/aruco/dictionary.cpp (`case
+ARUCO_MIP_25h7`), i.e. the READ-ONLY REFERENCE TREE's vendored copy of the
+upstream ArUco 3.x library (Rafael Munoz-Salinas, Univ. of Cordoba, BSD
+license). ARUCO_MIP_25h7 is a published constant data table — the same 100
+x 25-bit codes every aruco 3.x user ships — and real samsung7-style footage
+can only be decoded with these exact bits, so a regenerated lookalike table
+cannot substitute. This offline environment has no other copy (cv2 ships
+36h12 but not 25h7, and there is no network egress), so the reference
+tree's vendored copy of the PUBLISHED table is the only available source.
+This is data extraction of public constants, not code translation; the
+decode pipeline (ops/aruco/detector.py) is independent. If the npz is
+deleted, the loader falls back to a criteria-faithful regenerated table
+(dictionary._generate_mip_style) that loses only real-footage bit
+compatibility.
 
 Bit convention: row-major, MSB first — bit (nbits-1) of the code is cell
 (0,0). Verified empirically: converting the upstream ARUCO_MIP_36h12 codes
