@@ -183,19 +183,24 @@ def main():
     print(f"stats: {slam.stats}")
 
     records = [r for r in slam.get_trajectory() if r.state is TrackingState.OK]
+    pass1_out = args.out + ".pass1.tum" if args.two_pass else args.out
     trajectory.save_tum(
-        args.out,
+        pass1_out,
         [r.ts for r in records],
         [r.Rcw for r in records],
         [r.tcw for r in records],
     )
-    print(f"pass-1 trajectory ({len(records)} poses) -> {args.out}")
+    print(f"pass-1 trajectory ({len(records)} poses) -> {pass1_out}")
     if args.kf_out:
         fids, tss, Rs, ts_ = slam.keyframe_trajectory()
         trajectory.save_tum(args.kf_out, tss, Rs, ts_)
         print(f"keyframe trajectory -> {args.kf_out}")
 
     if args.two_pass and frames_kept:
+        # localization-only re-run against the FINAL map: every frame's pose
+        # is retro-consistent with all loop/GBA corrections — the
+        # reference's two-pass scheme writes exactly this second-pass
+        # trajectory (mono_cvcam.cc:183-266)
         slam.activate_localization_mode()
         timer2 = FrameTimer(warmup=args.chunk)
         out2 = []
@@ -208,6 +213,15 @@ def main():
         ok2 = sum(p is not None for p in out2)
         print(f"second pass (localization-only x{B}): {ok2}/"
               f"{len(frames_kept)} tracked | {timer2}")
+        kept = [(ts, p) for (_, ts), p in zip(frames_kept, out2)
+                if p is not None]
+        trajectory.save_tum(
+            args.out,
+            [ts for ts, _ in kept],
+            [p[0] for _, p in kept],
+            [p[1] for _, p in kept],
+        )
+        print(f"pass-2 trajectory ({len(kept)} poses) -> {args.out}")
 
     if args.save_map:
         slam.save_map(args.save_map)

@@ -207,6 +207,12 @@ class OptimConfig:
                                       # frames (the reference's detached GBA
                                       # thread, LoopClosing.cc:880)
     gba_slice_iters: int = 2          # GBA iterations per frame step
+    local_ba_slices: int = 3          # pipelined mode: the per-insert local
+                                      # BA is sliced over this many subsequent
+                                      # frames (the reference never blocks
+                                      # tracking on mapping — its mbAbortBA
+                                      # interrupt, LocalMapping.cc:94; this is
+                                      # the amortized equivalent)
     distributed_gba: bool = False     # shard post-loop GBA observations over
                                       # all visible devices (mesh psum Schur
                                       # reduction, parallel/dist_ba.py)
@@ -238,6 +244,8 @@ class MapConfig:
                                       # enter local BA as FIXED vertices
                                       # (Optimizer.cc:820-838)
     covis_edge_min: int = 15          # covisibility edge threshold (KeyFrame.cc:386)
+    max_loop_edges: int = 16          # persistent loop-edge table capacity
+                                      # (KeyFrame::AddLoopEdge, KeyFrame.cc:515)
     cull_found_ratio: float = 0.25    # MapPointCulling (LocalMapping.cc:185)
     kf_cull_redundancy: float = 0.9   # KeyFrameCulling 90% rule
     kf_cull_marker_min_obs: int = 5   # keep KF if a seen marker has <=5 obs

@@ -52,19 +52,29 @@ def so3_exp(w):
 
 
 def so3_log(R):
-    """[..., 3, 3] -> [..., 3]. Stable near 0 and pi."""
+    """[..., 3, 3] -> [..., 3]. Stable near 0 and pi — including under
+    AUTODIFF at exactly R = I: the angle comes from atan2(|sin|, cos)
+    (finite derivative at identity, unlike arccos whose slope is infinite
+    at cos = 1) and every division is double-where guarded so jacfwd/jacrev
+    never see 0/0. Pose-graph edges measured from the very poses being
+    optimized have EXACTLY zero residual, and a NaN Jacobian there silently
+    zeroed the whole essential-graph update (optim/pose_graph.py guards
+    dx with isfinite)."""
     trace = R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2]
     cos_theta = jnp.clip((trace - 1.0) * 0.5, -1.0, 1.0)
-    theta = jnp.arccos(cos_theta)
     w_vee = vee(R - jnp.swapaxes(R, -1, -2)) * 0.5  # = sin(theta) * axis
-    sin_theta = jnp.sin(theta)
-    small = theta < 1e-4
-    near_pi = theta > 3.0
-    # generic: theta / sin(theta) * w_vee
+    nq = jnp.sum(w_vee * w_vee, axis=-1)            # = sin(theta)^2
+    small = nq < 1e-12                              # theta < ~1e-6 (or ~pi)
+    sin_theta = jnp.sqrt(jnp.where(small, 1.0, nq))
+    theta = jnp.arctan2(
+        jnp.where(small, 0.0, sin_theta), cos_theta
+    )
+    near_pi = (cos_theta < -0.98)                   # theta > ~2.94
+    # generic: theta / sin(theta) * w_vee; small: theta ~ sin -> scale ~ 1
     scale = jnp.where(
         small,
-        1.0 + theta * theta / 6.0,
-        theta / jnp.where(jnp.abs(sin_theta) < _EPS, 1.0, sin_theta),
+        1.0 + nq / 6.0,
+        theta / jnp.where(small, 1.0, sin_theta),
     )
     w_generic = scale[..., None] * w_vee
     # near pi: axis from the symmetric part. S = (R+R^T)/2 = I + (1-cos t) K^2
@@ -193,6 +203,18 @@ def rot_to_quat(R):
     q = q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True), _EPS)
     sign = jnp.where(q[..., 0:1] < 0, -1.0, 1.0)
     return q * sign
+
+
+def orthonormalize(R):
+    """Project [..., 3, 3] near-rotations back onto SO(3) via a quaternion
+    roundtrip (branch-free Shepperd + unit quaternion). Composing poses in
+    float32 frame after frame drifts R off the manifold GEOMETRICALLY (the
+    velocity/seed chain amplifies the deviation ~2.4x per frame; a long
+    marker-free stretch reaches det(R) ~ 0.8 within ~25 frames). The
+    reference never sees this because every g2o pose roundtrips through a
+    unit-quaternion SE3Quat (g2o se3quat.h) — this is that renormalization
+    for the TPU engine's matrix-valued poses."""
+    return quat_to_rot(rot_to_quat(R))
 
 
 def quat_to_rot(q):

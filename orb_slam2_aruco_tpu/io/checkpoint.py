@@ -15,6 +15,8 @@ Format history:
   2  adds kf_seq / next_seq (pt_first_kf holds insertion sequence
      numbers) and the optional float64 `kf_ts64` side array
   3  adds pt_aruco (persistent marker<->point correlation)
+  4  adds the persistent loop-edge table loop_i/loop_j/loop_valid
+     (KeyFrame::AddLoopEdge parity, reference src/KeyFrame.cc:515-525)
 """
 
 from __future__ import annotations
@@ -25,7 +27,7 @@ from orb_slam2_aruco_tpu.worldmap.state import MapState
 
 import jax.numpy as jnp
 
-_FORMAT_VERSION = 3
+_FORMAT_VERSION = 4
 
 # extra (non-MapState) arrays carried in the checkpoint
 _EXTRA_KEYS = ("kf_ts64",)
@@ -48,9 +50,17 @@ def load_extras(path: str) -> dict:
 def load_map(path: str) -> MapState:
     data = np.load(path)
     version = int(data["__version__"])
-    if version not in (1, 2, 3):
+    if version not in (1, 2, 3, 4):
         raise ValueError(f"unsupported map checkpoint version {version}")
     kwargs = {f: jnp.asarray(data[f]) for f in MapState._fields if f in data}
+    if "loop_valid" not in kwargs:
+        # pre-v4 checkpoints predate the persistent loop-edge table
+        from orb_slam2_aruco_tpu.config import MapConfig
+
+        E = MapConfig().max_loop_edges
+        kwargs["loop_i"] = jnp.full((E,), -1, jnp.int32)
+        kwargs["loop_j"] = jnp.full((E,), -1, jnp.int32)
+        kwargs["loop_valid"] = jnp.zeros((E,), bool)
     if "pt_aruco" not in kwargs:
         # pre-v3 checkpoints predate the marker<->point correlation column
         kwargs["pt_aruco"] = jnp.full(

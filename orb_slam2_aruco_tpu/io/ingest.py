@@ -192,7 +192,9 @@ class StagedSource:
         self.depth = max(1, int(depth))
         self.batch = max(1, int(batch))
 
-    def __iter__(self):
+    def _pump(self):
+        """Start the producer thread; returns a generator over queue items:
+        (device_frame, ts) when batch == 1, else (device_stack, ts_list)."""
         import queue as _queue
         import threading
 
@@ -230,14 +232,33 @@ class StagedSource:
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is _END:
-                break
+
+        def drain():
+            while True:
+                item = q.get()
+                if item is _END:
+                    break
+                yield item
+            t.join()
+
+        return drain()
+
+    def batches(self):
+        """Iterate (device_stack [b, H, W], ts_list) — the whole staged
+        batch, un-sliced. The fast path for chunked consumers
+        (SlamSystem.localize_stream): per-frame slicing of a device array
+        costs one tiny relay dispatch per frame, and the consumer would
+        immediately re-stack the slices — dozens of wasted dispatches per
+        chunk on relay-attached TPUs."""
+        if self.batch == 1:
+            raise ValueError("batches() needs batch > 1")
+        return self._pump()
+
+    def __iter__(self):
+        for item in self._pump():
             if self.batch == 1:
                 yield item
             else:
                 stack, ts_list = item
                 for i, ts in enumerate(ts_list):
                     yield stack[i], ts
-        t.join()

@@ -18,7 +18,11 @@ import jax
 import jax.numpy as jnp
 
 from orb_slam2_aruco_tpu.geometry.camera import Camera
-from orb_slam2_aruco_tpu.geometry.lie import se3_exp, se3_compose
+from orb_slam2_aruco_tpu.geometry.lie import (
+    orthonormalize,
+    se3_compose,
+    se3_exp,
+)
 from orb_slam2_aruco_tpu.optim import residuals as res
 from orb_slam2_aruco_tpu.optim.lm import solve_damped
 
@@ -142,6 +146,13 @@ def optimize_pose(
     )
     chi2_final, _ = total_chi2(Rcw, tcw, inlier_w)
     inl = (inlier_w > 0) & (mask > 0)
+    # project the refined rotation back onto SO(3): the per-frame pose chain
+    # (velocity seed -> optimize -> carry) amplifies float32 orthogonality
+    # error ~2.4x per frame, which blows up det(R) within ~25 marker-free
+    # frames. g2o gets this for free — every PoseOptimization roundtrips
+    # through a unit-quaternion SE3Quat (se3quat.h); this is that
+    # renormalization at the same once-per-optimization cadence.
+    Rcw = orthonormalize(Rcw)
     return PoseOptResult(
         Rcw=Rcw,
         tcw=tcw,

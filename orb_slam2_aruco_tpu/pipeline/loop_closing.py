@@ -309,14 +309,43 @@ def compute_sim3(state: MapState, kf_cur, kf_loop, marker_slot,
                          n_inliers=jnp.maximum(n_f, n_proj))
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "max_covis_edges"))
+def covis_edge_set(W, kf_valid, chain_j, loop_i, loop_j, loop_valid,
+                   min_covis: int):
+    """The FULL >=minFeat covisibility edge set of the essential graph
+    (reference Optimizer.cc:1416-1440 adds EVERY pair with weight >= 100 via
+    GetCovisiblesByWeight — no top-N truncation): dense K*K upper-triangle
+    mask, minus pairs already present as spanning-tree or persistent loop
+    edges (the reference's sInsertedEdges dedup). Returns (cov_i, cov_j,
+    cov_mask) flat over the K*K grid."""
+    K = kf_valid.shape[0]
+    iu = jnp.arange(K, dtype=jnp.int32)
+    cov_i = jnp.repeat(iu, K)
+    cov_j = jnp.tile(iu, K)
+    pair_w = W.reshape(-1)
+    is_span = (chain_j[cov_i] == cov_j) | (chain_j[cov_j] == cov_i)
+    LP = (
+        jnp.zeros((K, K), bool)
+        .at[loop_i, loop_j].max(loop_valid)
+        .at[loop_j, loop_i].max(loop_valid)
+    )
+    cov_mask = (
+        (cov_i < cov_j)
+        & (pair_w >= min_covis)
+        & kf_valid[cov_i]
+        & kf_valid[cov_j]
+        & ~is_span
+        & ~LP.reshape(-1)
+    )
+    return cov_i, cov_j, cov_mask
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
 def correct_loop(
     state: MapState,
     kf_cur, kf_loop,
     s_rel, R_rel, t_rel,     # Sim3 cur <- loop (camera frames)
     cam: Camera,
     cfg: SlamConfig,
-    max_covis_edges: int = 5,
 ):
     """Propagate the loop correction and optimize the essential graph."""
     K = state.K
@@ -334,9 +363,14 @@ def correct_loop(
     s_all = jnp.ones((K,), jnp.float32)
     R_all = state.kf_Rcw
     t_all = state.kf_tcw
-    # propagate to covisible group of cur: S_k_corrected = S_k_cur * S_cur_c
+    # propagate to covisible group of cur: S_k_corrected = S_k_cur * S_cur_c.
+    # The LOOP keyframe is explicitly excluded: by correction time the
+    # revisit's re-associations can have made it covisible with cur, but it
+    # is the graph's FIXED gauge anchor (reference vScw: the matched KF
+    # keeps its current pose, Optimizer.cc:1270-1310) — propagating it
+    # would fix the whole graph at a displaced pose and tear the old map.
     covis_cur = (W[kf_cur] >= 15) & state.kf_valid
-    covis_cur = covis_cur.at[kf_cur].set(True)
+    covis_cur = covis_cur.at[kf_cur].set(True).at[kf_loop].set(False)
     Rcur_inv, tcur_inv = se3_inverse(state.kf_Rcw[kf_cur], state.kf_tcw[kf_cur])
     # S_k_cur (drifted relative): T_k_w * inv(T_cur_w)
     R_k_cur, t_k_cur = se3_compose(
@@ -387,43 +421,89 @@ def correct_loop(
     chain_mask = state.kf_valid & (parent >= 0) | (
         state.kf_valid & has_pred
     )
-    # (b) strong covisibility edges: top-C per KF with weight >= threshold
-    wv, wi = jax.lax.top_k(
-        jnp.where(jnp.eye(K, dtype=bool), 0, W), max_covis_edges
+    # persistent loop-edge table, with the CURRENT pair appended ----------
+    # (KeyFrame::AddLoopEdge, KeyFrame.cc:515-525: loops are permanent —
+    # every stored pair re-enters every later essential-graph run,
+    # Optimizer.cc:1390-1414)
+    already = jnp.any(
+        state.loop_valid
+        & (((state.loop_i == kf_cur) & (state.loop_j == kf_loop))
+           | ((state.loop_i == kf_loop) & (state.loop_j == kf_cur)))
     )
-    cov_i = jnp.repeat(jnp.arange(K, dtype=jnp.int32), max_covis_edges)
-    cov_j = wi.reshape(-1).astype(jnp.int32)
-    cov_mask = (
-        (wv.reshape(-1) >= cfg.optim.essential_graph_min_covis)
-        & state.kf_valid[cov_i]
-        & state.kf_valid[cov_j]
+    e_free = jnp.argmin(state.loop_valid.astype(jnp.int32))
+    do_add = (~already) & (~state.loop_valid[e_free])
+    loop_i_t = state.loop_i.at[e_free].set(
+        jnp.where(do_add, kf_cur.astype(jnp.int32), state.loop_i[e_free])
     )
-    # (c) the loop edge
-    e_i = jnp.concatenate([chain_i, cov_i, jnp.atleast_1d(kf_cur).astype(jnp.int32)])
-    e_j = jnp.concatenate([chain_j, cov_j, jnp.atleast_1d(kf_loop).astype(jnp.int32)])
+    loop_j_t = state.loop_j.at[e_free].set(
+        jnp.where(do_add, kf_loop.astype(jnp.int32), state.loop_j[e_free])
+    )
+    loop_valid_t = state.loop_valid.at[e_free].set(
+        jnp.where(do_add, True, state.loop_valid[e_free])
+    )
+    li = jnp.clip(loop_i_t, 0, K - 1)
+    lj = jnp.clip(loop_j_t, 0, K - 1)
+    cov_i, cov_j, cov_mask = covis_edge_set(
+        W, state.kf_valid, chain_j, li, lj, loop_valid_t,
+        cfg.optim.essential_graph_min_covis,
+    )
+    # (c) all stored loop edges, plus one explicit row for the CURRENT loop
+    # (the table row for the current pair, if any, is masked out so the
+    # constraint enters exactly once — and still enters when the table is
+    # full and the pair could not be stored)
+    cur_row = (
+        loop_valid_t
+        & (((loop_i_t == kf_cur) & (loop_j_t == kf_loop))
+           | ((loop_i_t == kf_loop) & (loop_j_t == kf_cur)))
+    )
+    e_i = jnp.concatenate(
+        [chain_i, cov_i, li, jnp.atleast_1d(kf_cur).astype(jnp.int32)]
+    )
+    e_j = jnp.concatenate(
+        [chain_j, cov_j, lj, jnp.atleast_1d(kf_loop).astype(jnp.int32)]
+    )
+    loop_edge_mask = (
+        loop_valid_t & ~cur_row
+        & state.kf_valid[li] & state.kf_valid[lj]
+    )
     e_mask = jnp.concatenate(
-        [chain_mask, cov_mask, jnp.asarray([True])]
+        [chain_mask, cov_mask, loop_edge_mask, jnp.asarray([True])]
     ).astype(jnp.float32)
 
-    # measurements: S_m = S_iw_meas * S_wj_meas from PRE-correction poses for
-    # chain/covis edges; the corrected relative for the loop edge
+    # measurements for edge (i, j): the solver convention (see
+    # optimize_pose_graph docstring + test_pose_graph_closes_loop) is
+    # S_m = S_jw * S_wi — zero residual iff the optimized relative pose
+    # matches the measured one. Chain/covis edges and PAST loop edges
+    # measure from PRE-correction poses (past seams were corrected when
+    # they closed, so the current relative pose IS the constraint — the
+    # reference's vScw-based measurement, Optimizer.cc:1390); the newly
+    # solved Sim3 constrains the current loop edge.
     def rel_meas(Ra, ta, Rb, tb):
-        # S_iw * S_wj with s = 1
-        Rbi, tbi = se3_inverse(Rb, tb)
-        R, t = se3_compose(Ra, ta, Rbi, tbi)
+        # S_jw * S_wi with s = 1  (edge (i=a, j=b))
+        Rai, tai = se3_inverse(Ra, ta)
+        R, t = se3_compose(Rb, tb, Rai, tai)
         return jnp.ones(R.shape[:-2]), R, t
 
     sm_c, Rm_c, tm_c = rel_meas(
         R_all[e_i[:-1]], t_all[e_i[:-1]], R_all[e_j[:-1]], t_all[e_j[:-1]]
     )
-    # loop edge measurement: corrected cur vs loop (the Sim3 we solved)
+    # current loop edge (i=cur, j=loop): S_m = S_loop_w * inv(S_cur_w_corr)
     sl, Rl, tl = sim3_compose(
-        s_cur_c, R_cur_c, t_cur_c,
-        *sim3_inverse(jnp.float32(1.0), R_loop, t_loop),
+        jnp.float32(1.0), R_loop, t_loop,
+        *sim3_inverse(s_cur_c, R_cur_c, t_cur_c),
     )
     sm = jnp.concatenate([sm_c, sl[None]])
     Rm = jnp.concatenate([Rm_c, Rl[None]])
     tm = jnp.concatenate([tm_c, tl[None]])
+    import os as _os
+    if _os.environ.get("SLAM_DEBUG_LOOP"):
+        jax.debug.print(
+            "EGDBG chain={c} cov={v} loop_rows={lr} cur_row={cr} "
+            "li={li} lj={lj}",
+            c=jnp.sum(chain_mask), v=jnp.sum(cov_mask),
+            lr=jnp.sum(loop_edge_mask), cr=jnp.sum(cur_row),
+            li=li, lj=lj,
+        )
 
     free = state.kf_valid.astype(jnp.float32).at[kf_loop].set(0.0)
     out = pose_graph.optimize_pose_graph(
@@ -451,29 +531,49 @@ def correct_loop(
     pt_xyz = jnp.where(move[:, None], X2, pt_xyz)
 
     # markers: re-anchor Twm from the corrected pose of an observing KF
-    # (reference CorrectLoopByAruco:781-798): Twm = T_w_k_new * T_k_m where
-    # T_k_m is recomputed from that KF's stored corner observation
+    # (reference CorrectLoopByAruco:781-798 + MapAruco.cc:84-101:
+    # Twm = T_w_k(corrected) * T_k_m(stored observation), with the observer
+    # taken from the CORRECTED covisible group). Observer choice prefers
+    # the corrected group and, within it, the least ambiguous stored
+    # detection; the IPPE solution is then chosen by consistency with the
+    # marker's prior pose rather than unconditionally taking solution 0 —
+    # an ambiguous near-frontal view must not flip the marker's normal for
+    # all later tracking.
     M = state.M
     A = state.kf_mk_slot.shape[1]
-    # pick one observing (kf, a) per marker: the first by layout
     obs_mask = (
         state.kf_mk_valid
         & (state.kf_mk_slot >= 0)
         & state.kf_valid[:, None]
     )
-    slot_of = jnp.where(obs_mask, state.kf_mk_slot, M)
-    flat = slot_of.reshape(-1)
-    first_obs = jnp.full((M + 1,), K * A, jnp.int32).at[flat].min(
-        jnp.arange(K * A, dtype=jnp.int32)
-    )[:M]
-    has_obs = first_obs < K * A
-    kf_of = jnp.clip(first_obs // A, 0, K - 1)
-    a_of = first_obs % A
-    uv = state.kf_mk_uv[kf_of, a_of]                     # [M, 4, 2]
-    xn = cam_mod.pixels_to_normalized(cam, uv)
-    ippe_res = ippe_square(cfg.aruco.marker_size, xn)
-    Rk_m = ippe_res.R[:, 0]
-    tk_m = ippe_res.t[:, 0]
+    uv_all = state.kf_mk_uv.reshape(K * A, 4, 2)
+    xn_all = cam_mod.pixels_to_normalized(cam, uv_all)
+    ippe_all = ippe_square(jnp.float32(1.0), xn_all)  # unit side: t scales
+    ratio_all = ippe_all.ratio                         # err0/err1 ambiguity
+    # score per observation: corrected-group membership dominates, then the
+    # sharper (less ambiguous) detection wins
+    score = covis_cur[:, None].astype(jnp.float32) * 10.0 - jnp.reshape(
+        ratio_all, (K, A)
+    )
+    flat_slot = jnp.where(obs_mask, state.kf_mk_slot, M).reshape(-1)
+    slots_eq = flat_slot[:, None] == jnp.arange(M, dtype=jnp.int32)[None, :]
+    sc = jnp.where(slots_eq, score.reshape(-1)[:, None], -jnp.inf)  # [KA, M]
+    best_idx = jnp.argmax(sc, axis=0)                  # [M]
+    has_obs = jnp.any(slots_eq, axis=0)
+    kf_of = jnp.clip(best_idx // A, 0, K - 1)
+    R2 = ippe_all.R[best_idx]                          # [M, 2, 3, 3]
+    t2 = ippe_all.t[best_idx] * state.mk_side[:, None, None]
+    # expected T_k_m from the marker's (self-consistent, pre-correction)
+    # state: T_k_w_old * T_w_m_old
+    R_exp, t_exp = se3_compose(
+        R_all[kf_of], t_all[kf_of], state.mk_Rwm, state.mk_twm
+    )
+    tr0 = jnp.einsum("mij,mij->m", R2[:, 0], R_exp)
+    tr1 = jnp.einsum("mij,mij->m", R2[:, 1], R_exp)
+    amb = ratio_all[best_idx] >= cfg.aruco.ippe_ambiguity_ratio
+    pick1 = amb & (tr1 > tr0)
+    Rk_m = jnp.where(pick1[:, None, None], R2[:, 1], R2[:, 0])
+    tk_m = jnp.where(pick1[:, None], t2[:, 1], t2[:, 0])
     Rw_k, tw_k = se3_inverse(R_new[kf_of], t_new[kf_of])
     Rwm_new, twm_new = se3_compose(Rw_k, tw_k, Rk_m, tk_m)
     upd = state.mk_valid & has_obs
@@ -487,6 +587,9 @@ def correct_loop(
         mk_Rwm=mk_Rwm,
         mk_twm=mk_twm,
         kf_mk_old=jnp.zeros_like(state.kf_mk_old),
+        loop_i=loop_i_t,
+        loop_j=loop_j_t,
+        loop_valid=loop_valid_t,
         big_change_idx=state.big_change_idx + 1,
     )
     return state, out.chi2

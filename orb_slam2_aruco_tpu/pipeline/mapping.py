@@ -493,6 +493,7 @@ def build_ba_problem(
     max_pts: int = 4096,
     window_all: bool = False,
     max_fixed: int = 0,
+    pt_offset=0,
 ):
     """Window selection + edge-list construction for bundle adjustment
     (the problem-building half of LocalBundleAdjustment/GlobalBA). Returns
@@ -578,7 +579,20 @@ def build_ba_problem(
         max_cams = max_cams + max_fixed
         obs_sel = state.kf_obs_point[sel]
 
-    hit_val, pt_sel = jax.lax.top_k(pt_hit.astype(jnp.int32), max_pts)
+    hit_score = pt_hit.astype(jnp.int32)
+    if window_all:
+        # GBA bucket ROTATION: when the live map exceeds max_pts, a fixed
+        # top_k would optimize the same lowest-slot points every slice and
+        # the remainder would only ever be rigidly carried by their ref KF
+        # (the reference's GBA makes EVERY map point a vertex,
+        # Optimizer.cc:98-166). Slots inside a rotating band of width
+        # max_pts are preferred, and the caller advances `pt_offset` by the
+        # bucket size per slice, so successive slices cover the whole map.
+        band = (
+            (jnp.arange(state.L, dtype=jnp.int32) - pt_offset) % state.L
+        ) < max_pts
+        hit_score = hit_score * (1 + band.astype(jnp.int32))
+    hit_val, pt_sel = jax.lax.top_k(hit_score, max_pts)
     pt_ok = hit_val > 0
     # compact index: L -> [0, max_pts)
     comp = jnp.full((state.L + 1,), -1, jnp.int32)
@@ -635,7 +649,9 @@ def build_ba_problem(
     return prob, sel, sel_ok, pt_sel, pt_ok
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "propagate"))
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "propagate", "erase_outliers")
+)
 def writeback_ba(
     state: MapState,
     out,                    # ba.BAResult
@@ -643,6 +659,7 @@ def writeback_ba(
     sel, sel_ok, pt_sel, pt_ok,
     cfg: SlamConfig,
     propagate: bool = False,
+    erase_outliers: bool = True,
 ):
     """Scatter a BA solution back into the map state (the write-back half of
     LocalBundleAdjustment, reference Optimizer.cc:1207-1240, including the
@@ -696,8 +713,16 @@ def writeback_ba(
         x_cam = jnp.einsum("lij,lj->li", R_old, state.pt_xyz) + t_old
         x_prop = jnp.einsum("lji,lj->li", R_new, x_cam - t_new)
         pt_xyz = jnp.where(prop[:, None], x_prop, pt_xyz)
-    # outlier edge erase (reference erases obs with chi2 > 5.991 after BA)
-    edge_bad = (out.edge_chi2 > cfg.optim.chi2_mono) & (e_mask > 0)
+    # outlier edge erase — LOCAL BA ONLY (reference LocalBundleAdjustment
+    # erases chi2 > 5.991 observations, Optimizer.cc:1171-1201; its GLOBAL
+    # BA does not, Optimizer.cc:50-307). A post-loop GBA runs in short
+    # slices from a freshly corrected map whose residuals start large —
+    # erasing there would strip exactly the cross-seam associations the
+    # optimization is about to iron out.
+    if erase_outliers:
+        edge_bad = (out.edge_chi2 > cfg.optim.chi2_mono) & (e_mask > 0)
+    else:
+        edge_bad = jnp.zeros_like(e_mask, dtype=bool)
     obs_rows = state.kf_obs_point[sel].reshape(-1)
     obs_rows = jnp.where(edge_bad, -1, obs_rows).reshape(max_cams, N)
     kf_obs = jnp.concatenate(
@@ -742,6 +767,7 @@ def bundle_adjust(
     iters: int = 10,
     window_all: bool = False,
     max_fixed: int = 0,
+    pt_offset=0,
 ):
     """Windowed BA over the newest `max_cams` keyframes (LocalBundleAdjustment,
     reference src/Optimizer.cc:772-1242) or all keyframes (global BA) when
@@ -754,7 +780,7 @@ def bundle_adjust(
     solver='auto')."""
     prob, sel, sel_ok, pt_sel, pt_ok = build_ba_problem(
         state, center_kf, cfg, max_cams=max_cams, max_pts=max_pts,
-        window_all=window_all, max_fixed=max_fixed,
+        window_all=window_all, max_fixed=max_fixed, pt_offset=pt_offset,
     )
     out = ba.ba_solve(
         prob, cam, iters=iters,
@@ -762,7 +788,8 @@ def bundle_adjust(
         lam0=cfg.optim.lm_lambda_init,
     )
     return writeback_ba(state, out, prob.e_mask, sel, sel_ok, pt_sel, pt_ok,
-                        cfg, propagate=window_all)
+                        cfg, propagate=window_all,
+                        erase_outliers=not window_all)
 
 
 def bundle_adjust_distributed(
@@ -775,6 +802,7 @@ def bundle_adjust_distributed(
     max_pts: int = 8192,
     iters: int = 10,
     window_all: bool = True,
+    pt_offset=0,
 ):
     """Global BA with observations sharded over a device mesh
     (parallel.dist_ba.distributed_ba_solve): the same build/write-back as
@@ -785,7 +813,7 @@ def bundle_adjust_distributed(
 
     prob, sel, sel_ok, pt_sel, pt_ok = build_ba_problem(
         state, center_kf, cfg, max_cams=max_cams, max_pts=max_pts,
-        window_all=window_all,
+        window_all=window_all, pt_offset=pt_offset,
     )
     out = dist_ba.distributed_ba_solve(
         prob, cam, mesh, iters=iters,
@@ -796,7 +824,8 @@ def bundle_adjust_distributed(
     # back indexes edges by the ORIGINAL [max_cams * N] layout
     out = out._replace(edge_chi2=out.edge_chi2[: prob.e_kf.shape[0]])
     return writeback_ba(state, out, prob.e_mask, sel, sel_ok, pt_sel, pt_ok,
-                        cfg, propagate=window_all)
+                        cfg, propagate=window_all,
+                        erase_outliers=not window_all)
 
 
 # ---------------------------------------------------------------------------
@@ -856,7 +885,17 @@ def cull_keyframes(state: MapState, keep_kf, cfg: SlamConfig, force=False):
     first_kf = jnp.argmin(
         jnp.where(state.kf_valid, state.kf_frame_id, jnp.int32(2**30))
     )
-    eligible = state.kf_valid & ~sees_rare
+    # loop-edge protection: a keyframe holding a persistent loop edge is
+    # never erased (reference KeyFrame::SetErase keeps mbNotErase while
+    # mspLoopEdges is non-empty, src/KeyFrame.cc:527-548) — culling it
+    # would silently drop the stored seam constraint from every later
+    # essential-graph optimization
+    in_loop_edge = (
+        jnp.zeros((K,), bool)
+        .at[jnp.clip(state.loop_i, 0, K - 1)].max(state.loop_valid)
+        .at[jnp.clip(state.loop_j, 0, K - 1)].max(state.loop_valid)
+    )
+    eligible = state.kf_valid & ~sees_rare & ~in_loop_edge
     eligible = eligible.at[keep_kf].set(False).at[first_kf].set(False)
     candidate = (
         eligible & (ratio > cfg.map.kf_cull_redundancy) & (n_pts > 10)
@@ -1099,9 +1138,12 @@ def aruco_plane_update(state: MapState, kf, cam: Camera, cfg: SlamConfig):
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "restrict_covisible"))
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "restrict_covisible", "radius_scale")
+)
 def fuse_duplicates(state: MapState, kf, cam: Camera, cfg: SlamConfig,
-                    restrict_covisible: bool = True):
+                    restrict_covisible: bool = True,
+                    radius_scale: float = 0.05):
     """Merge duplicated map points (SearchInNeighbors/Fuse, reference
     src/LocalMapping.cc:822-902, ORBmatcher::Fuse src/ORBmatcher.cc:829):
     a point observed by the current keyframe that lies within the scale-
@@ -1142,7 +1184,15 @@ def fuse_duplicates(state: MapState, kf, cam: Camera, cfg: SlamConfig,
     B = unpack_pm1(state.pt_desc)
     sim = jnp.dot(A, B.T, preferred_element_type=jnp.float32)
     hamm = (256.0 - sim) * 0.5
-    radius = 0.05 * jnp.maximum(state.pt_max_dist[my_slot][:, None], 0.2)
+    # merge radius ~ radius_scale * scale-band distance. The default maps
+    # to roughly the reference Fuse's th=3-4 px projection window at
+    # typical depths; POST-LOOP whole-map fusion passes a TIGHTER scale
+    # (the seam residual has not been ironed out by GBA yet — merging
+    # across it would weld mismatched structure, reference SearchAndFuse
+    # uses th=4 px on CORRECTED projections, LoopClosing.cc:1074-1100)
+    radius = radius_scale * jnp.maximum(
+        state.pt_max_dist[my_slot][:, None], 0.2
+    )
     cand = (
         my_ok[:, None]
         & state.pt_valid[None, :]
@@ -1198,7 +1248,12 @@ def fuse_duplicates(state: MapState, kf, cam: Camera, cfg: SlamConfig,
         pt_visible=state.pt_visible + add_vis,
         pt_obs_kf=pt_obs_kf,
     )
-    return state, jnp.sum(has_tgt.astype(jnp.int32))
+    # merged_to is returned so the HOST can forward the live tracking
+    # context's observation indices through the merge — the reference's
+    # CheckReplacedInLastFrame (Tracking.cc:836): without it, a whole-map
+    # post-loop fusion merges away most of the last frame's points and the
+    # next frame's motion-model stage starts with zero candidates
+    return state, jnp.sum(has_tgt.astype(jnp.int32)), merged_to
 
 
 # ---------------------------------------------------------------------------

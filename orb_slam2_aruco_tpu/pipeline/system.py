@@ -103,6 +103,8 @@ class SlamSystem:
         self._pending_cull = None        # [2] device (victim, unused) await
         self._pending_loop = None        # (k, det_marker, det_bow) await
         self._stat_futures: List = []    # (key, device scalar) lazy stats
+        self._map_phase: List = []       # deferred mapping-phase steps, one
+                                         # executed per subsequent frame
         # host mirror of keyframe-slot occupancy: lets the host hand the
         # insert slot to create_keyframe instead of reading it back
         self._kf_valid_host = np.zeros(cfg.map.max_keyframes, bool)
@@ -225,18 +227,24 @@ class SlamSystem:
         return poses
 
     # ------------------------------------------------------------------
-    def localize_stream(self, imgs_ts, chunk: int = 16):
+    def localize_stream(self, imgs_ts, chunk: int = 16, depth: int = 2):
         """Pipelined localization-only serving: a generator over (img, ts)
         pairs yielding (frame_id, ts, pose_or_None).
 
-        Chunk k+1 is DISPATCHED before chunk k's control vector is read
-        back, so the host<->device round trip (per-dispatch latency + the
-        readback) overlaps the next chunk's compute — on relay-attached
-        TPUs this hides ~20 ms per chunk. The dispatch is speculative: if
-        chunk k turns out to contain a lost frame, the speculative chunk is
-        discarded and its frames are reprocessed through the per-frame
-        relocalization path (results are identical to the sequential path
-        whenever tracking holds, which is the steady state).
+        Up to `depth` chunks are kept IN FLIGHT: chunk k+1 (and k+2, ...)
+        are dispatched before chunk k's control vector is read back, so the
+        host<->device round trip (per-dispatch latency + readback) and all
+        host-side bookkeeping overlap device compute of the chunks already
+        queued — on relay-attached TPUs the host only ever blocks when the
+        device is `depth` chunks ahead. Dispatches are speculative: if
+        chunk k turns out to contain a lost frame, every in-flight chunk
+        after it is discarded and the affected frames are reprocessed
+        through the per-frame relocalization path (results are identical
+        to the sequential path whenever tracking holds — the steady state).
+
+        When `imgs_ts` is a StagedSource with batch == chunk, staged device
+        stacks are consumed WHOLE (StagedSource.batches) — no per-frame
+        slice + re-stack, which costs dozens of relay dispatches per chunk.
 
         Requires localization mode and an OK tracking state (same contract
         as track_monocular_batch)."""
@@ -289,74 +297,110 @@ class SlamSystem:
                 out.append((fid, ts, (Rcw, tcw)))
             return out, None
 
-        pending = None          # (ctrls_dev, metas, held_imgs_ts)
-        buf = []
+        from collections import deque
 
-        def flush_buf(buf):
-            stack = jnp.stack([jnp.asarray(im) for im, _ in buf])
-            metas = []
-            for im, ts in buf:
-                metas.append((self.frame_id, ts))
-                self.frame_id += 1
-            return dispatch(stack), metas
+        from orb_slam2_aruco_tpu.io.ingest import StagedSource
 
-        src = iter(imgs_ts)
+        depth = max(1, int(depth))
+        leftover = deque()      # individual (img, ts) frames (reloc resume)
         exhausted = False
+
+        if isinstance(imgs_ts, StagedSource) and imgs_ts.batch > 1:
+            batch_src = imgs_ts.batches()
+            frame_src = None
+        else:
+            batch_src = None
+            frame_src = iter(imgs_ts)
+
+        def pull_one():
+            """Pull one more source item into `leftover` (a whole staged
+            batch counts as one item); False when the source is exhausted."""
+            nonlocal exhausted
+            if exhausted:
+                return False
+            try:
+                if batch_src is not None:
+                    stack, ts_list = next(batch_src)
+                    for j, ts in enumerate(ts_list):
+                        leftover.append((stack[j], ts))
+                else:
+                    leftover.append(next(frame_src))
+            except StopIteration:
+                exhausted = True
+                return False
+            return True
+
+        def refill_leftover():
+            """Ensure at least one frame is in `leftover`."""
+            return bool(leftover) or pull_one()
+
+        def next_chunk():
+            """Build the next chunk: (stack, ts_list) or None. Fast path: a
+            whole staged batch, untouched (zero extra dispatches). Slow path
+            (after a rewind, or per-frame sources): stack `leftover`."""
+            nonlocal exhausted
+            if not leftover and batch_src is not None and not exhausted:
+                try:
+                    return next(batch_src)
+                except StopIteration:
+                    exhausted = True
+                    return None
+            while len(leftover) < chunk and pull_one():
+                pass
+            if not leftover:
+                return None
+            items = [leftover.popleft()
+                     for _ in range(min(chunk, len(leftover)))]
+            stack = jnp.stack([jnp.asarray(im) for im, _ in items])
+            return stack, [ts for _, ts in items]
+
+        pending = deque()       # in flight: (ctrls_dev, metas, stack)
         while True:
             # while lost (and nothing in flight), run frames one at a time
             # through the relocalization path until tracking is OK again
-            if pending is None and self.state is not TrackingState.OK:
-                while buf or not exhausted:
-                    if not buf:
-                        try:
-                            buf.append(next(src))
-                        except StopIteration:
-                            exhausted = True
-                            break
-                    im, ts = buf.pop(0)
+            if not pending and self.state is not TrackingState.OK:
+                while refill_leftover():
+                    im, ts = leftover.popleft()
                     fid = self.frame_id
                     yield (fid, ts, self.track_monocular(im, ts))
                     if self.state is TrackingState.OK:
                         break
                 if self.state is not TrackingState.OK:
                     return  # stream ended while lost
-            # fill the next chunk
-            while not exhausted and len(buf) < chunk:
-                try:
-                    buf.append(next(src))
-                except StopIteration:
-                    exhausted = True
-            if pending is None and not buf:
+            # keep `depth` chunks in flight
+            while len(pending) < depth:
+                nc = next_chunk()
+                if nc is None:
+                    break
+                stack, ts_list = nc
+                metas = []
+                for ts in ts_list:
+                    metas.append((self.frame_id, ts))
+                    self.frame_id += 1
+                pending.append((dispatch(stack), metas, stack))
+            if not pending:
                 return
-            new_pending = None
-            held = list(buf)
-            if buf:
-                ctrls, metas = flush_buf(buf)
-                new_pending = (ctrls, metas, held)
-                buf = []
-            if pending is not None:
-                ctrls_p, metas_p, held_p = pending
-                results, lost_tail = emit(ctrls_p, metas_p)
-                for r in results:
-                    yield r
-                if lost_tail is not None:
-                    # rewind: discard the speculative chunk and reprocess
-                    # the lost tail + the speculative frames through the
-                    # per-frame path (relocalization, then normal tracking)
-                    self.state = TrackingState.LOST
-                    self.vel = None
-                    redo = held_p[len(results):]
-                    if new_pending is not None:
-                        redo = redo + new_pending[2]
-                        new_pending = None
-                    self.frame_id = lost_tail[0][0]
-                    for im, ts in redo:
-                        fid = self.frame_id
-                        pose = self.track_monocular(im, ts)
-                        yield (fid, ts, pose)
-            pending = new_pending
-            if pending is None and exhausted:
-                return
+            # emit the oldest in-flight chunk (blocks on its readback)
+            ctrls_p, metas_p, stack_p = pending.popleft()
+            results, lost_tail = emit(ctrls_p, metas_p)
+            for r in results:
+                yield r
+            if lost_tail is not None:
+                # rewind: discard EVERY speculative chunk and reprocess the
+                # lost tail + all speculative frames through the per-frame
+                # path (relocalization, then normal tracking). Slicing the
+                # held stacks only happens here, on the rare lost path.
+                self.state = TrackingState.LOST
+                self.vel = None
+                k0 = len(results)
+                redo = [(stack_p[k0 + j], ts)
+                        for j, (_, ts) in enumerate(metas_p[k0:])]
+                while pending:
+                    _, metas_s, stack_s = pending.popleft()
+                    redo += [(stack_s[j], ts)
+                             for j, (_, ts) in enumerate(metas_s)]
+                self.frame_id = lost_tail[0][0]
+                leftover.extendleft(reversed(redo))
 
     # ------------------------------------------------------------------
     def _try_initialize(self, frame: Frame, fid: int, ts: float):
@@ -505,6 +549,12 @@ class SlamSystem:
         Rl_inv, tl_inv = se3_inverse(*self.last_pose)
         self.vel = se3_compose(Rcw, tcw, Rl_inv, tl_inv)
 
+        # commit the tracking context BEFORE the mapping phase: the insert's
+        # point fusion forwards last_obs through merges (_apply_point_remap,
+        # the reference's CheckReplacedInLastFrame) — assigning afterwards
+        # would clobber the remap with pre-fuse indices
+        self.last_frame = frame
+        self.last_obs = out.obs_point
         if not self.localization_only:
             if self._kf_decision(ctrl, fid, n_map_inliers, recently_reloc):
                 k_ins = self._insert_keyframe(frame, Rcw, tcw, out.obs_point,
@@ -520,8 +570,6 @@ class SlamSystem:
                     Rcw = self.map.kf_Rcw[k_ins]
                     tcw = self.map.kf_tcw[k_ins]
 
-        self.last_frame = frame
-        self.last_obs = out.obs_point
         self.last_pose = (Rcw, tcw)
         return Rcw_np, tcw_np
 
@@ -614,11 +662,37 @@ class SlamSystem:
         while self._pending:
             if not self._process_oldest():
                 break
+        self._drain_map_phase()
         self._resolve_cull()
         self._resolve_loop_detection()
         for key, v in self._stat_futures:
             self.stats[key] = self.stats.get(key, 0) + int(v)
         self._stat_futures = []
+
+    def _apply_point_remap(self, merged_to):
+        """Forward the live tracking context through a point merge
+        (CheckReplacedInLastFrame, reference Tracking.cc:836): last_obs and
+        any in-flight frames' obs_point must follow MapPoint::Replace."""
+        L = self.map.L
+
+        def remap(obs):
+            return jnp.where(
+                obs >= 0, merged_to[jnp.clip(obs, 0, L - 1)], obs
+            )
+
+        if self.last_obs is not None:
+            self.last_obs = remap(self.last_obs)
+        if self._pending:
+            self._pending = [
+                (fid, ts, frame, out._replace(obs_point=remap(out.obs_point)))
+                for (fid, ts, frame, out) in self._pending
+            ]
+
+    def _drain_map_phase(self):
+        """Run every remaining deferred mapping-phase step inline."""
+        while self._map_phase:
+            _, step = self._map_phase.pop(0)
+            step()
 
     def _process_oldest(self) -> bool:
         """Read the oldest in-flight frame's control vector and apply the
@@ -658,7 +732,13 @@ class SlamSystem:
                 frame, out.Rcw, out.tcw, out.obs_point, out.slots, fid, ts,
                 mk_old=out.old_flags, sync=False,
             )
-        if self.pending_gba_iters > 0:
+        elif self._map_phase:
+            # one deferred mapping-phase step per tracked frame: the device
+            # interleaves ~15 ms of mapping with each tracking dispatch
+            # instead of ~100 ms after every insert
+            _, step = self._map_phase.pop(0)
+            step()
+        elif self.pending_gba_iters > 0:
             self._gba_slice()       # device-only: stays in the pipeline
         return True
 
@@ -671,6 +751,9 @@ class SlamSystem:
         self.state = TrackingState.LOST
         self.vel = None
         self._ref_kf_dev = None
+        # finish the previous insert's sliced mapping phase before replaying
+        # frames through the synchronous path (which assumes a settled map)
+        self._drain_map_phase()
         rest = list(self._pending)
         self._pending = []
         self.trajectory.append(
@@ -727,6 +810,10 @@ class SlamSystem:
         rescaled/re-anchored entirely on device — so a keyframe insert adds
         dispatches to the device queue but never stalls the host pipeline."""
         cfg = self.cfg
+        # a new insert before the previous one's sliced phase drained: run
+        # the remainder inline first (covisibility/triangulation for THIS
+        # keyframe must see the settled previous phase)
+        self._drain_map_phase()
         # resolve last insert's deferred work before using host counters
         self._resolve_cull()
         self._resolve_loop_detection()
@@ -765,79 +852,119 @@ class SlamSystem:
         self.last_kf_frame_id = fid
         self.ref_kf = k
         self._ref_kf_dev = None
+        steps = self._mapping_phase_steps(k, fid, sync)
+        if sync:
+            for _, step in steps:
+                step()
+        else:
+            # pipelined mode: the mapping phase runs SLICED, one step per
+            # subsequent tracked frame (_process_oldest) — the device never
+            # executes ~100 ms of mapping between two tracking dispatches,
+            # which is what blew the p90 latency past the 33 ms frame
+            # budget. The reference equivalently never blocks tracking on
+            # LocalMapping (System.cc:96-101, mbAbortBA LocalMapping.cc:94).
+            self._map_phase.extend(steps)
+        return k
+
+    def _mapping_phase_steps(self, k: int, fid: int, sync: bool):
+        """The post-insert mapping phase (LocalMapping::Run equivalent) as a
+        list of (name, thunk) steps: triangulation, point culling + fusion,
+        point stats + marker plane update, the local BA in
+        cfg.optim.local_ba_slices slices, keyframe culling, loop detection."""
+        cfg = self.cfg
         k_dev = jnp.asarray(k)
-        # triangulate against the top-N covisible neighbors in one dispatch
-        # (reference searches the top-20 covisible KFs, LocalMapping.cc:
-        # 222-229, with the baseline/scene-depth > 1% neighbor gate)
-        self.map, n_new = mapping.triangulate_vs_covisible(
-            self.map, k_dev, self.cam, cfg,
-            n_neighbors=cfg.map.triangulation_neighbors, max_new=256,
-        )
-        if sync:
-            self.stats["pts_created"] += int(n_new)
-        else:
-            self._stat_futures.append(("pts_created", n_new))
-        self.map, _ = mapping.cull_points(self.map, cfg.map.cull_found_ratio)
-        # merge duplicated points (SearchInNeighbors/Fuse)
-        self.map, n_fused = mapping.fuse_duplicates(
-            self.map, k_dev, self.cam, cfg
-        )
-        self.map = mapping.update_point_stats(self.map, cfg)
-        self.map = mapping.distinctive_descriptors(self.map, cfg, kf=k_dev)
-        # marker plane measurement + possible one-shot scale correction
-        self.map, s_corr = mapping.aruco_plane_update(
-            self.map, k_dev, self.cam, cfg
-        )
-        if sync:
-            if abs(float(s_corr) - 1.0) > 1e-6:
-                # rescale the tracking context too
-                self.last_pose = (
-                    self.last_pose[0], self.last_pose[1] * float(s_corr)
-                )
-                self.vel = None
-                self.stats["scale_corrections"] = (
-                    self.stats.get("scale_corrections", 0) + 1
-                )
-        else:
-            # device-side rescale: a no-op when s == 1; the velocity's
-            # translation scales with the map like everything metric, and so
-            # do the in-flight frames' speculative poses
-            self.last_pose = (self.last_pose[0], self.last_pose[1] * s_corr)
-            if self.vel is not None:
-                self.vel = (self.vel[0], self.vel[1] * s_corr)
-            if self._pending:
-                patched = []
-                for (pfid, pts_, pframe, pout) in self._pending:
-                    ctrl2 = pout.ctrl.at[14:17].set(
-                        pout.ctrl[14:17] * s_corr
-                    )
-                    patched.append((
-                        pfid, pts_, pframe,
-                        pout._replace(tcw=pout.tcw * s_corr, ctrl=ctrl2),
-                    ))
-                self._pending = patched
-        if self.n_keyframes > 2:
-            R_pre = self.map.kf_Rcw[k]
-            t_pre = self.map.kf_tcw[k]
-            self.map, chi2 = mapping.bundle_adjust(
+
+        def tri():
+            # triangulate against the top-N covisible neighbors in one
+            # dispatch (reference top-20 covisible KFs, LocalMapping.cc:
+            # 222-229, with the baseline/scene-depth > 1% neighbor gate)
+            self.map, n_new = mapping.triangulate_vs_covisible(
                 self.map, k_dev, self.cam, cfg,
-                max_cams=cfg.map.local_ba_window, max_pts=2048,
-                iters=cfg.optim.local_ba_iters_second,
-                max_fixed=cfg.map.local_ba_fixed_ring,
+                n_neighbors=cfg.map.triangulation_neighbors, max_new=256,
             )
-            self.stats["ba_runs"] += 1
-            if not sync:
-                # later frames already chained off the PRE-BA pose: re-anchor
-                # the tracking context by this keyframe's BA delta, on device
-                # (the reference re-derives frame poses from their reference
-                # KF after mapping updates, Tracking::UpdateLastFrame)
-                Ri, ti = se3_inverse(R_pre, t_pre)
-                Rrel, trel = se3_compose(
-                    self.last_pose[0], self.last_pose[1], Ri, ti
+            if sync:
+                self.stats["pts_created"] += int(n_new)
+            else:
+                self._stat_futures.append(("pts_created", n_new))
+
+        def fuse():
+            self.map, _ = mapping.cull_points(
+                self.map, cfg.map.cull_found_ratio
+            )
+            # merge duplicated points (SearchInNeighbors/Fuse)
+            self.map, _n_fused, merged_to = mapping.fuse_duplicates(
+                self.map, k_dev, self.cam, cfg
+            )
+            self._apply_point_remap(merged_to)
+
+        def stats_plane():
+            self.map = mapping.update_point_stats(self.map, cfg)
+            self.map = mapping.distinctive_descriptors(self.map, cfg, kf=k_dev)
+            # marker plane measurement + possible one-shot scale correction
+            self.map, s_corr = mapping.aruco_plane_update(
+                self.map, k_dev, self.cam, cfg
+            )
+            if sync:
+                if abs(float(s_corr) - 1.0) > 1e-6:
+                    # rescale the tracking context too
+                    self.last_pose = (
+                        self.last_pose[0], self.last_pose[1] * float(s_corr)
+                    )
+                    self.vel = None
+                    self.stats["scale_corrections"] = (
+                        self.stats.get("scale_corrections", 0) + 1
+                    )
+            else:
+                # device-side rescale: a no-op when s == 1; the velocity's
+                # translation scales with the map like everything metric, and
+                # so do the in-flight frames' speculative poses
+                self.last_pose = (self.last_pose[0], self.last_pose[1] * s_corr)
+                if self.vel is not None:
+                    self.vel = (self.vel[0], self.vel[1] * s_corr)
+                if self._pending:
+                    patched = []
+                    for (pfid, pts_, pframe, pout) in self._pending:
+                        ctrl2 = pout.ctrl.at[14:17].set(
+                            pout.ctrl[14:17] * s_corr
+                        )
+                        patched.append((
+                            pfid, pts_, pframe,
+                            pout._replace(tcw=pout.tcw * s_corr, ctrl=ctrl2),
+                        ))
+                    self._pending = patched
+
+        def ba_slice(iters, count_run):
+            def run():
+                if self.n_keyframes <= 2 or not self._kf_valid_host[k]:
+                    return
+                R_pre = self.map.kf_Rcw[k]
+                t_pre = self.map.kf_tcw[k]
+                self.map, _chi2 = mapping.bundle_adjust(
+                    self.map, k_dev, self.cam, cfg,
+                    max_cams=cfg.map.local_ba_window, max_pts=2048,
+                    iters=iters,
+                    max_fixed=cfg.map.local_ba_fixed_ring,
                 )
-                self.last_pose = se3_compose(
-                    Rrel, trel, self.map.kf_Rcw[k], self.map.kf_tcw[k]
-                )
+                if count_run:
+                    self.stats["ba_runs"] += 1
+                if not sync:
+                    # later frames already chained off the PRE-BA pose:
+                    # re-anchor the tracking context by this keyframe's BA
+                    # delta, on device (the reference re-derives frame poses
+                    # from their reference KF after mapping updates,
+                    # Tracking::UpdateLastFrame)
+                    Ri, ti = se3_inverse(R_pre, t_pre)
+                    Rrel, trel = se3_compose(
+                        self.last_pose[0], self.last_pose[1], Ri, ti
+                    )
+                    self.last_pose = se3_compose(
+                        Rrel, trel, self.map.kf_Rcw[k], self.map.kf_tcw[k]
+                    )
+            return run
+
+        def kf_cull():
+            if self.n_keyframes <= 2 or not self._kf_valid_host[k]:
+                return
             # keyframe culling (90% redundancy rule, marker protection)
             self.map, victim = mapping.cull_keyframes(self.map, k_dev, cfg)
             if sync:
@@ -849,25 +976,50 @@ class SlamSystem:
                 except AttributeError:
                     pass
                 self._pending_cull = victim
-        # ---- loop closing phase (LoopClosing::Run equivalent) ----------
-        if (
-            self.n_keyframes - self.last_loop_kf_count
-            >= cfg.loop.min_kfs_between_loops
-        ):
-            det_mk, det_bow = loop_closing.detect_loops(
-                self.map, k_dev, min_gap=cfg.loop.min_kfs_between_loops,
-            )
-            if not sync:
-                for arr in (det_mk.found, det_mk.kf_loop, det_mk.marker_slot,
-                            det_bow.found, det_bow.kf_loop):
-                    try:
-                        arr.copy_to_host_async()
-                    except AttributeError:
-                        pass
-            self._pending_loop = (k, fid, det_mk, det_bow)
-            if sync:
-                self._resolve_loop_detection()
-        return k
+
+        def loop_det():
+            # ---- loop closing phase (LoopClosing::Run equivalent) --------
+            if not self._kf_valid_host[k]:
+                return
+            if (
+                self.n_keyframes - self.last_loop_kf_count
+                >= cfg.loop.min_kfs_between_loops
+            ):
+                det_mk, det_bow = loop_closing.detect_loops(
+                    self.map, k_dev, min_gap=cfg.loop.min_kfs_between_loops,
+                )
+                if not sync:
+                    for arr in (det_mk.found, det_mk.kf_loop,
+                                det_mk.marker_slot,
+                                det_bow.found, det_bow.kf_loop):
+                        try:
+                            arr.copy_to_host_async()
+                        except AttributeError:
+                            pass
+                self._pending_loop = (k, fid, det_mk, det_bow)
+                if sync:
+                    self._resolve_loop_detection()
+
+        # slice the local BA over the frames after the insert: >= the same
+        # total iterations, re-seeded LM per slice. Every slice uses the
+        # SAME static iteration count (one compiled program); the monotone
+        # early-exit makes warm continuation slices cheap.
+        n_slices = max(1, int(cfg.optim.local_ba_slices)) if not sync else 1
+        total = cfg.optim.local_ba_iters_second
+        per = -(-total // n_slices)          # ceil
+        if sync:
+            per = total
+        ba_steps = [
+            (f"ba[{per}]", ba_slice(per, i == 0)) for i in range(n_slices)
+        ]
+        return [
+            ("triangulate", tri),
+            ("fuse", fuse),
+            ("stats+plane", stats_plane),
+            *ba_steps,
+            ("kf_cull", kf_cull),
+            ("loop_detect", loop_det),
+        ]
 
     # ------------------------------------------------------------------
     def _resolve_loop_detection(self):
@@ -880,6 +1032,13 @@ class SlamSystem:
         k, fid, det_mk, det_bow = self._pending_loop
         self._pending_loop = None
         cfg = self.cfg
+        import os as _os2
+        if _os2.environ.get("SLAM_DEBUG_LOOP"):
+            print(f"RESDBG fid={fid} kf={k} mk_found={bool(det_mk.found)} "
+                  f"mk_loop={int(det_mk.kf_loop)} "
+                  f"bow_found={bool(det_bow.found)} "
+                  f"bow_loop={int(det_bow.kf_loop)} "
+                  f"valid={bool(self._kf_valid_host[k])}")
         if not self._kf_valid_host[k]:
             return                     # the detection keyframe was culled
         if bool(det_mk.found):
@@ -910,6 +1069,9 @@ class SlamSystem:
                   f"s={float(cand.s):.4f} n={int(cand.n_inliers)} "
                   f"marker={int(det.marker_slot) >= 0}")
         if bool(cand.ok):
+            ref = jnp.asarray(self.ref_kf)
+            R_ref0 = self.map.kf_Rcw[ref]
+            t_ref0 = self.map.kf_tcw[ref]
             self.map, _ = loop_closing.correct_loop(
                 self.map, jnp.asarray(k), det.kf_loop,
                 cand.s, cand.R, cand.t, self.cam, cfg,
@@ -917,10 +1079,24 @@ class SlamSystem:
             # fuse the two sides of the loop now (SearchAndFuse,
             # LoopClosing.cc:1074-1100) — tracking needs the merged
             # associations immediately
-            self.map, _ = mapping.fuse_duplicates(
+            self.map, _, merged_to = mapping.fuse_duplicates(
                 self.map, jnp.asarray(k), self.cam, cfg,
-                restrict_covisible=False,
+                restrict_covisible=False, radius_scale=0.015,
             )
+            self._apply_point_remap(merged_to)
+            # re-anchor the tracking context through the correction: the
+            # essential graph moves the reference keyframe (distributing
+            # drift), and the next frame must seed consistently with the
+            # CORRECTED map (the reference holds mMutexMapUpdate across
+            # Track() for exactly this reason, Tracking.cc:202)
+            if self.last_pose is not None:
+                R_ref1 = self.map.kf_Rcw[ref]
+                t_ref1 = self.map.kf_tcw[ref]
+                Ri, ti = se3_inverse(R_ref0, t_ref0)
+                Rrel, trel = se3_compose(
+                    self.last_pose[0], self.last_pose[1], Ri, ti
+                )
+                self.last_pose = se3_compose(Rrel, trel, R_ref1, t_ref1)
             # global BA runs TIME-SLICED between subsequent frames
             # instead of inline (the reference's detached GBA thread,
             # LoopClosing.cc:880): a new loop closure before the
@@ -936,9 +1112,15 @@ class SlamSystem:
             # _gba_bucket_shape)
             self._gba_shape = self._gba_bucket_shape()
             self._gba_shape_kfs = self.n_keyframes
-            # one stabilization slice INLINE: the very next frame
-            # must track against a self-consistent map (the rest of
-            # the iterations amortize across subsequent frames)
+            # point-bucket rotation across slices starts from slot 0
+            self._gba_pt_offset = 0
+            # TWO stabilization slices INLINE: the very next frame
+            # must track against a self-consistent map — a freshly
+            # corrected seam starts with ~0.1 m distributed residual and
+            # one 2-iteration slice is not enough to bring the current
+            # keyframe's associations back under the match windows (the
+            # rest of the iterations amortize across subsequent frames)
+            self._gba_slice()
             self._gba_slice()
             self.last_loop_kf_count = self.n_keyframes
             self.stats["loops_closed"] += 1
@@ -989,6 +1171,11 @@ class SlamSystem:
         else:
             gba_cams = cfg.map.max_keyframes
             gba_pts = min(8192, cfg.map.max_points)
+        # rotate the point bucket across slices (reference GBA optimizes
+        # EVERY map point, Optimizer.cc:98-166 — with a fixed bucket the
+        # same lowest slots would be re-selected every slice and the rest
+        # of a large map would only ever be rigidly carried by its ref KF)
+        pt_off = getattr(self, "_gba_pt_offset", 0)
         if cfg.optim.distributed_gba and len(jax.devices()) > 1:
             from orb_slam2_aruco_tpu.parallel import dist_ba
 
@@ -999,13 +1186,16 @@ class SlamSystem:
                 self._gba_mesh,
                 max_cams=gba_cams, max_pts=gba_pts,
                 iters=cfg.optim.gba_slice_iters, window_all=True,
+                pt_offset=pt_off,
             )
         else:
             self.map, _ = mapping.bundle_adjust(
                 self.map, jnp.asarray(self.last_kf_slot), self.cam, cfg,
                 max_cams=gba_cams, max_pts=gba_pts,
                 iters=cfg.optim.gba_slice_iters, window_all=True,
+                pt_offset=pt_off,
             )
+        self._gba_pt_offset = (pt_off + gba_pts) % cfg.map.max_points
         self.pending_gba_iters -= cfg.optim.gba_slice_iters
         self.stats["gba_slices"] = self.stats.get("gba_slices", 0) + 1
         # halfway through: one more whole-map fuse — duplicates that only
@@ -1015,10 +1205,11 @@ class SlamSystem:
             self.pending_gba_fuse
             and self.pending_gba_iters <= cfg.optim.post_loop_gba_iters // 2
         ):
-            self.map, _ = mapping.fuse_duplicates(
+            self.map, _, merged_to = mapping.fuse_duplicates(
                 self.map, jnp.asarray(self.last_kf_slot), self.cam, cfg,
                 restrict_covisible=False,
             )
+            self._apply_point_remap(merged_to)
             self.pending_gba_fuse = False
         # re-anchor last_pose: T_last' = (T_last * T_ref0^-1) * T_ref1
         if self.last_pose is not None:
@@ -1124,6 +1315,7 @@ class SlamSystem:
     def reset(self):
         """System::Reset — clear the map and all tracking context."""
         self._pending = []
+        self._map_phase = []
         self._pending_cull = None
         self._pending_loop = None
         self._stat_futures = []
@@ -1180,6 +1372,7 @@ class SlamSystem:
         from orb_slam2_aruco_tpu.io import checkpoint
 
         self._pending = []
+        self._map_phase = []
         self._pending_cull = None
         self._pending_loop = None
         self._stat_futures = []

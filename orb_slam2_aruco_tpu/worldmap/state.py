@@ -85,6 +85,13 @@ class MapState(NamedTuple):
     kf_mk_uv: jnp.ndarray      # [K, A, 4, 2] observed (undistorted) corners
     kf_mk_valid: jnp.ndarray   # [K, A] bool
     kf_mk_old: jnp.ndarray     # [K, A] bool — 'old/loop' markers (mvbOldAruco)
+    # --- persistent loop edges (KeyFrame::AddLoopEdge, reference
+    # src/KeyFrame.cc:515-525): every closed loop is stored as a permanent
+    # keyframe pair and re-enters EVERY subsequent essential-graph
+    # optimization (Optimizer.cc:1390-1414) so old seams cannot tear ------
+    loop_i: jnp.ndarray        # [E] int32 current-side keyframe slot
+    loop_j: jnp.ndarray        # [E] int32 loop-side keyframe slot
+    loop_valid: jnp.ndarray    # [E] bool
     # --- retrieval (place recognition) ----------------------------------
     kf_bow: jnp.ndarray        # [K, W] float32 l2-normalized word histogram
     # --- scalars ---------------------------------------------------------
@@ -162,6 +169,9 @@ def empty_map(cfg: SlamConfig, num_words: int = None) -> MapState:
         kf_mk_uv=jnp.zeros((K, A, 4, 2), f32),
         kf_mk_valid=jnp.zeros((K, A), bool),
         kf_mk_old=jnp.zeros((K, A), bool),
+        loop_i=jnp.full((cfg.map.max_loop_edges,), -1, jnp.int32),
+        loop_j=jnp.full((cfg.map.max_loop_edges,), -1, jnp.int32),
+        loop_valid=jnp.zeros((cfg.map.max_loop_edges,), bool),
         kf_bow=jnp.zeros((K, W), f32),
         scale_done=jnp.asarray(False),
         big_change_idx=jnp.asarray(0, jnp.int32),

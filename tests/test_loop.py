@@ -131,6 +131,8 @@ def build_drifted_map(rng, n_kf=14, n_pts=160, drift_per_kf=0.015):
             kf_tcw=state.kf_tcw.at[k].set(t_est[k]),
             kf_valid=state.kf_valid.at[k].set(True),
             kf_frame_id=state.kf_frame_id.at[k].set(k),
+            kf_seq=state.kf_seq.at[k].set(k),
+            next_seq=jnp.asarray(k + 1, jnp.int32),
             kf_kp_uv=state.kf_kp_uv.at[k, :n_pts].set(uv),
             kf_desc=state.kf_desc.at[k, :n_pts].set(jnp.asarray(descs)),
             kf_kp_valid=state.kf_kp_valid.at[k, :n_pts].set(vis),
@@ -236,3 +238,173 @@ def test_bow_loop_detection_and_classic_sim3(rng):
     )
     err_after = float(jnp.linalg.norm(state2.kf_tcw[13] - t_true[13]))
     assert err_after < 0.5 * err_before, (err_before, err_after)
+
+
+def test_covis_edge_set_matches_direct_count(rng):
+    """The essential graph must contain EVERY covisibility pair with weight
+    >= minFeat (reference Optimizer.cc:1416-1440, GetCovisiblesByWeight(100))
+    — no top-N truncation — minus spanning-tree / loop-edge duplicates."""
+    K = 24
+    W_np = rng.integers(0, 200, size=(K, K))
+    W_np = np.triu(W_np, 1)
+    W_np = W_np + W_np.T
+    valid = rng.random(K) > 0.2
+    chain = np.arange(K) - 1                       # temporal chain parents
+    chain[0] = 0
+    loop_i = np.asarray([3, -1], np.int32)
+    loop_j = np.asarray([17, -1], np.int32)
+    loop_valid = np.asarray([True, False])
+    min_covis = 100
+    ci, cj, cm = loop_closing.covis_edge_set(
+        jnp.asarray(W_np.astype(np.int32)), jnp.asarray(valid),
+        jnp.asarray(chain.astype(np.int32)),
+        jnp.asarray(np.clip(loop_i, 0, K - 1)),
+        jnp.asarray(np.clip(loop_j, 0, K - 1)), jnp.asarray(loop_valid),
+        min_covis,
+    )
+    # direct count
+    n_direct = 0
+    for a in range(K):
+        for b in range(a + 1, K):
+            if W_np[a, b] < min_covis or not (valid[a] and valid[b]):
+                continue
+            if chain[a] == b or chain[b] == a:
+                continue
+            if (a, b) in ((3, 17), (17, 3)):
+                continue
+            n_direct += 1
+    assert int(jnp.sum(cm)) == n_direct
+    # and every masked edge is a genuinely >=min_covis pair
+    ci, cj, cm = np.asarray(ci), np.asarray(cj), np.asarray(cm)
+    assert all(W_np[a, b] >= min_covis for a, b in zip(ci[cm], cj[cm]))
+
+
+def test_persistent_loop_edges_protect_old_seam(rng):
+    """A second loop closure must keep the FIRST loop's seam tight: the
+    stored loop edge (KeyFrame::AddLoopEdge, reference KeyFrame.cc:515-525)
+    re-enters the second essential-graph run (Optimizer.cc:1390-1414).
+    Verified by running the second correction with and without the stored
+    edge: with it, the first seam's relative pose moves far less."""
+    cfg, cam, state, truth, est = build_drifted_map(rng)
+    n_kf = 14
+    kf_cur = jnp.asarray(n_kf - 1)
+    det = loop_closing.detect_loop_by_marker(state, kf_cur, min_gap=5)
+    cand = loop_closing.compute_sim3(
+        state, kf_cur, det.kf_loop, det.marker_slot, cam, cfg
+    )
+    assert bool(cand.ok)
+    state1, _ = loop_closing.correct_loop(
+        state, kf_cur, det.kf_loop, cand.s, cand.R, cand.t, cam, cfg
+    )
+    # the first closure is stored as a persistent edge
+    li = np.asarray(state1.loop_i)[np.asarray(state1.loop_valid)]
+    lj = np.asarray(state1.loop_j)[np.asarray(state1.loop_valid)]
+    assert list(li) == [n_kf - 1] and list(lj) == [0]
+
+    def seam_rel(st):
+        Ri, ti = se3_inverse(st.kf_Rcw[0], st.kf_tcw[0])
+        return se3_compose(st.kf_Rcw[n_kf - 1], st.kf_tcw[n_kf - 1], Ri, ti)
+
+    R_seam0, t_seam0 = seam_rel(state1)
+
+    # second closure between (12, 1) with a DELIBERATELY conflicting Sim3
+    # (small offset vs the current relative pose): the graph has to absorb
+    # the inconsistency somewhere
+    from orb_slam2_aruco_tpu.geometry.lie import so3_exp
+
+    R1i, t1i = se3_inverse(state1.kf_Rcw[1], state1.kf_tcw[1])
+    R_rel, t_rel = se3_compose(state1.kf_Rcw[12], state1.kf_tcw[12], R1i, t1i)
+    dR = so3_exp(jnp.asarray([0.0, 0.04, 0.0]))
+    R_rel2 = dR @ R_rel
+    t_rel2 = t_rel + jnp.asarray([0.05, 0.0, 0.02])
+
+    state2, _ = loop_closing.correct_loop(
+        state1, jnp.asarray(12), jnp.asarray(1),
+        jnp.float32(1.0), R_rel2, t_rel2, cam, cfg,
+    )
+    # both loops stored now
+    assert int(jnp.sum(state2.loop_valid)) == 2
+    # ... and the same second closure WITHOUT the stored first edge
+    state1_noedge = state1._replace(
+        loop_valid=jnp.zeros_like(state1.loop_valid)
+    )
+    state2_no, _ = loop_closing.correct_loop(
+        state1_noedge, jnp.asarray(12), jnp.asarray(1),
+        jnp.float32(1.0), R_rel2, t_rel2, cam, cfg,
+    )
+
+    def seam_drift(st):
+        R_s, t_s = seam_rel(st)
+        return float(jnp.linalg.norm(t_s - t_seam0)) + float(
+            jnp.linalg.norm(R_s - R_seam0)
+        )
+
+    d_with = seam_drift(state2)
+    d_without = seam_drift(state2_no)
+    assert d_with <= d_without + 1e-6, (d_with, d_without)
+    assert d_with < 0.05, d_with
+
+
+def test_loop_edges_checkpoint_roundtrip(rng, tmp_path):
+    cfg, cam, state, truth, est = build_drifted_map(rng)
+    state = state._replace(
+        loop_i=state.loop_i.at[0].set(13),
+        loop_j=state.loop_j.at[0].set(0),
+        loop_valid=state.loop_valid.at[0].set(True),
+    )
+    from orb_slam2_aruco_tpu.io import checkpoint
+
+    p = str(tmp_path / "m.npz")
+    checkpoint.save_map(p, state)
+    st2 = checkpoint.load_map(p)
+    assert int(st2.loop_i[0]) == 13 and int(st2.loop_j[0]) == 0
+    assert bool(st2.loop_valid[0])
+
+
+def test_marker_reanchor_ambiguity_gate(rng):
+    """A marker observed under an ambiguous near-frontal tilt must keep a
+    consistent Twm through a loop correction: the re-anchoring IPPE solution
+    is chosen by consistency with the marker's prior pose, not
+    unconditionally solution 0 (reference LoopClosing.cc:781-798 uses the
+    stored detection; an IPPE flip here would poison all later tracking)."""
+    from orb_slam2_aruco_tpu.geometry.lie import so3_exp
+
+    cfg, cam, state, truth, est = build_drifted_map(rng)
+    n_kf = 14
+    # re-pose the marker NEARLY frontal to KF0 (slight tilt => ambiguous
+    # IPPE) and re-project its corners into KF0 and the last KF
+    R_true, t_true = truth
+    Rw0, tw0 = se3_inverse(R_true[0], t_true[0])
+    tilt = so3_exp(jnp.asarray([0.06, 0.0, 0.0]))   # ~3.4 deg off frontal
+    Rwm = Rw0 @ tilt
+    twm = jnp.asarray([0.0, 0.0, 0.3])
+    corners_w = marker_corner_points_world(Rwm, twm, 0.165)
+    state = state._replace(
+        mk_Rwm=state.mk_Rwm.at[0].set(Rwm),
+        mk_twm=state.mk_twm.at[0].set(twm),
+    )
+    for k in (0, n_kf - 1):
+        pc = se3_apply(
+            jnp.broadcast_to(R_true[k], (4, 3, 3)),
+            jnp.broadcast_to(t_true[k], (4, 3)),
+            corners_w,
+        )
+        uvm = cam_mod.project(cam, pc)
+        state = state._replace(
+            kf_mk_uv=state.kf_mk_uv.at[k, 0].set(uvm),
+        )
+    z_before = np.asarray(state.mk_Rwm[0][:, 2])
+    det = loop_closing.detect_loop_by_marker(
+        state, jnp.asarray(n_kf - 1), min_gap=5
+    )
+    assert bool(det.found)
+    cand = loop_closing.compute_sim3(
+        state, jnp.asarray(n_kf - 1), det.kf_loop, det.marker_slot, cam, cfg
+    )
+    state2, _ = loop_closing.correct_loop(
+        state, jnp.asarray(n_kf - 1), det.kf_loop,
+        cand.s, cand.R, cand.t, cam, cfg,
+    )
+    z_after = np.asarray(state2.mk_Rwm[0][:, 2])
+    # the marker's normal must not flip through the correction
+    assert float(np.dot(z_before, z_after)) > 0.9, (z_before, z_after)

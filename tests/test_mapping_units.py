@@ -42,7 +42,7 @@ def test_fuse_duplicates_merges_and_remaps(rng):
         pt_obs_kf=state.pt_obs_kf.at[1, 1].set(True).at[2, 1].set(True)
         .at[0, 0].set(True).at[2, 0].set(True),
     )
-    out, n = mapping.fuse_duplicates(state, jnp.asarray(1), cam, cfg)
+    out, n, _remap = mapping.fuse_duplicates(state, jnp.asarray(1), cam, cfg)
     assert int(n) == 1
     assert not bool(out.pt_valid[1])      # duplicate dropped
     assert bool(out.pt_valid[0]) and bool(out.pt_valid[2])
@@ -425,3 +425,130 @@ def test_marker_point_correlation_tags_and_recycles(rng):
     newly = np.asarray(alloc.pt_valid) & ~np.asarray(culled.pt_valid)
     assert newly.any()
     assert (np.asarray(alloc.pt_aruco)[newly] == -1).all()
+
+
+def test_kf_cull_protects_loop_edge_keyframes(rng):
+    """A keyframe holding a persistent loop edge is never culled (reference
+    KeyFrame::SetErase keeps mbNotErase while mspLoopEdges is non-empty,
+    KeyFrame.cc:527-548) — erasing it would drop the stored seam constraint
+    from every later essential-graph optimization."""
+    cfg = small_cfg()
+    state = empty_map(cfg)
+    n_kf, n_pts = 5, 30
+    # every point observed by every KF => all KFs fully redundant
+    state = state._replace(
+        kf_valid=state.kf_valid.at[:n_kf].set(True),
+        kf_frame_id=state.kf_frame_id.at[:n_kf].set(
+            jnp.arange(n_kf, dtype=jnp.int32)
+        ),
+        pt_valid=state.pt_valid.at[:n_pts].set(True),
+        pt_obs_kf=state.pt_obs_kf.at[:n_pts, :n_kf].set(True),
+        kf_obs_point=state.kf_obs_point.at[:n_kf, :n_pts].set(
+            jnp.broadcast_to(jnp.arange(n_pts, dtype=jnp.int32),
+                             (n_kf, n_pts))
+        ),
+        kf_kp_valid=state.kf_kp_valid.at[:n_kf, :n_pts].set(True),
+    )
+    keep = jnp.asarray(n_kf - 1)
+    # without protection, some mid-chain KF is culled
+    st_plain, victim_plain = mapping.cull_keyframes(state, keep, cfg)
+    v0 = int(victim_plain)
+    assert v0 >= 0
+    # protect exactly that victim with a loop edge -> another KF is chosen
+    state_prot = state._replace(
+        loop_i=state.loop_i.at[0].set(v0),
+        loop_j=state.loop_j.at[0].set(0),
+        loop_valid=state.loop_valid.at[0].set(True),
+    )
+    _, victim2 = mapping.cull_keyframes(state_prot, keep, cfg)
+    assert int(victim2) != v0
+    assert int(victim2) != 0          # the other end is protected too
+
+
+def test_gba_bucket_rotation_refines_all_points(rng):
+    """With a live map larger than the GBA point bucket, rotating the bucket
+    across slices (pt_offset) must leave EVERY point as well-refined as one
+    full-map BA (the reference's GBA makes every point a vertex,
+    Optimizer.cc:98-166); a fixed bucket provably leaves the tail noisy."""
+    cfg = SlamConfig()
+    cfg = cfg.replace(
+        map=cfg.map.__class__(max_keyframes=8, max_points=512, max_markers=4),
+        orb=cfg.orb.__class__(num_features=384),
+    )
+    cam = cam_mod.camera_from_config(cfg.camera)
+    state = empty_map(cfg)
+    n_kf, n_pts = 5, 384
+    rng_ = np.random.default_rng(11)
+    pts_true = np.stack([
+        rng_.uniform(-1.5, 1.5, n_pts), rng_.uniform(-1.0, 1.0, n_pts),
+        rng_.uniform(4.0, 6.0, n_pts),
+    ], axis=-1).astype(np.float32)
+    # cameras on a small lateral arc, all points in view
+    from orb_slam2_aruco_tpu.geometry.lie import se3_apply, so3_exp
+
+    for k in range(n_kf):
+        R = so3_exp(jnp.asarray([0.0, 0.03 * (k - 2), 0.0]))
+        t = jnp.asarray([0.15 * (k - 2), 0.0, 0.0])
+        p = se3_apply(
+            jnp.broadcast_to(R, (n_pts, 3, 3)),
+            jnp.broadcast_to(t, (n_pts, 3)), jnp.asarray(pts_true),
+        )
+        uv = cam_mod.project(cam, p)
+        vis = cam_mod.in_image(cam, uv) & (p[:, 2] > 0.1)
+        state = state._replace(
+            kf_Rcw=state.kf_Rcw.at[k].set(R),
+            kf_tcw=state.kf_tcw.at[k].set(t),
+            kf_valid=state.kf_valid.at[k].set(True),
+            kf_frame_id=state.kf_frame_id.at[k].set(k),
+            kf_kp_uv=state.kf_kp_uv.at[k, :n_pts].set(uv),
+            kf_kp_valid=state.kf_kp_valid.at[k, :n_pts].set(vis),
+            kf_obs_point=state.kf_obs_point.at[k, :n_pts].set(
+                jnp.where(vis, jnp.arange(n_pts, dtype=jnp.int32), -1)
+            ),
+            pt_obs_kf=state.pt_obs_kf.at[
+                jnp.where(vis, jnp.arange(n_pts), state.L), k
+            ].set(True, mode="drop"),
+        )
+    # noisy stored points
+    noise = rng_.normal(0, 0.05, (n_pts, 3)).astype(np.float32)
+    state = state._replace(
+        pt_xyz=state.pt_xyz.at[:n_pts].set(jnp.asarray(pts_true + noise)),
+        pt_valid=state.pt_valid.at[:n_pts].set(True),
+        pt_ref_kf=state.pt_ref_kf.at[:n_pts].set(0),
+    )
+    center = jnp.asarray(n_kf - 1)
+    bucket = 128                     # << n_pts live
+
+    def run_slices(offsets):
+        st = state
+        for off in offsets:
+            st, _ = mapping.bundle_adjust(
+                st, center, cam, cfg, max_cams=8, max_pts=bucket,
+                iters=4, window_all=True, pt_offset=off,
+            )
+        return st
+
+    # full-map BA reference
+    st_full, _ = mapping.bundle_adjust(
+        state, center, cam, cfg, max_cams=8, max_pts=512,
+        iters=12, window_all=True,
+    )
+    err_full = np.linalg.norm(
+        np.asarray(st_full.pt_xyz[:n_pts]) - pts_true, axis=-1
+    )
+    # rotated slices cover all slots
+    st_rot = run_slices([0, bucket, 2 * bucket, 3 * bucket % cfg.map.max_points])
+    err_rot = np.linalg.norm(
+        np.asarray(st_rot.pt_xyz[:n_pts]) - pts_true, axis=-1
+    )
+    # fixed bucket leaves the tail unrefined
+    st_fix = run_slices([0, 0, 0, 0])
+    err_fix = np.linalg.norm(
+        np.asarray(st_fix.pt_xyz[:n_pts]) - pts_true, axis=-1
+    )
+    # every rotated point matches the full-map BA quality
+    assert float(np.max(err_rot)) < float(np.max(err_full)) + 5e-3, (
+        err_rot.max(), err_full.max()
+    )
+    # the fixed bucket provably does NOT refine the tail
+    assert float(np.max(err_fix)) > 0.03, err_fix.max()

@@ -172,8 +172,21 @@ def test_save_load_map_and_localize(sequence, tmp_path):
 
 
 def test_full_system_loop_closure():
-    """Drive the camera away from the start area and back: the marker-id loop
-    detector must fire through the full system and correct the map."""
+    """Drive the camera away from the start area and back with CONTROLLED
+    accumulated drift: the marker-id loop detector must fire through the
+    full system and correct the map.
+
+    Drift model: mid-way through the marker-free stretch the LATE map
+    segment (keyframes, their points, the tracking context) is rigidly
+    displaced by a known world transform D — exactly the equivalence class
+    VO drift lives in, but deterministic. (Earlier rounds injected drift
+    photometrically via a center-zoom warp; the round-5 orthonormal pose
+    chain tracks through that cleanly enough to re-associate the old map on
+    return — covisible revisit, correctly NO loop — so the displacement is
+    now injected directly.) On return, the old map projects ~90 px off the
+    drifted pose: no re-association, the re-observed marker ids are flagged
+    old by a NON-covisible keyframe, and the loop machinery must close and
+    correct the seam."""
     cfg = small_config()
     # reference-gate tracking (>= 30 local-map inliers) needs a healthier
     # feature budget than the other tests' 400 on this long noise-texture pan
@@ -199,63 +212,75 @@ def test_full_system_loop_closure():
         [3, 17, 42, 99], px_per_m=700.0, spacing=0.45, grid_cols=2,
         extent_margin=2.2,
     )
-    # slow pan: optical flow must stay inside the motion-model search
-    # radius, otherwise the system goes LOST and recovers by marker
-    # RELOCALIZATION instead of loop closure (also a valid reference
-    # behavior, but not what this test exercises)
     n = 60
     xs = np.concatenate([
         np.linspace(0.2, 1.4, n // 2),       # away (markers leave view)
-        np.linspace(1.4, 0.2, n // 2),       # back to the start
+        np.linspace(1.4, 0.2, n - n // 2),   # back to the start
     ])
     poses = [
         synthetic.look_at_plane_pose((x, 0.22), 1.2, pitch=0.03)
         for x in xs
     ]
     imgs = [synthetic.render_view(world, cfg.camera, R, t) for R, t in poses]
-    # DETERMINISTIC odometry drift over the marker-free middle stretch: a
-    # center-zoom warp ramping 1.0 -> 1.07 -> 1.0 makes tracking absorb
-    # phantom forward/backward motion, so the revisit re-observes the old
-    # markers from a NON-covisible keyframe — the actual condition for a
-    # loop. (A drift-free synthetic run simply re-tracks the same points on
-    # the way back: one covisible chain, correctly NO loop. Photometric
-    # noise used to produce the drift here, but it stopped drifting far
-    # enough once triangulation/BA got more accurate — the warp injects a
-    # controlled, numerics-independent error instead.) Both endpoints see
-    # UNWARPED frames, so the start<->end ground-truth check below is exact.
-    def center_zoom(img, s):
-        h, w = img.shape
-        yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
-        cx, cy = (w - 1) / 2.0, (h - 1) / 2.0
-        xs_ = (xx - cx) / s + cx
-        ys_ = (yy - cy) / s + cy
-        x0 = np.clip(np.floor(xs_).astype(int), 0, w - 2)
-        y0 = np.clip(np.floor(ys_).astype(int), 0, h - 2)
-        fx = np.clip(xs_ - x0, 0, 1)
-        fy = np.clip(ys_ - y0, 0, 1)
-        return (img[y0, x0] * (1 - fx) * (1 - fy)
-                + img[y0, x0 + 1] * fx * (1 - fy)
-                + img[y0 + 1, x0] * (1 - fx) * fy
-                + img[y0 + 1, x0 + 1] * fx * fy)
 
-    drifted = []
-    for j, img in enumerate(imgs):
-        if 12 <= j < 48:
-            ramp = min(j - 12, 47 - j, 10) / 10.0
-            drifted.append(center_zoom(img, 1.0 + 0.07 * ramp))
-        else:
-            drifted.append(img.copy())
+    import jax.numpy as jnp
+
+    from orb_slam2_aruco_tpu.geometry.lie import so3_exp
+
+    def inject_drift(slam, cutoff_fid, Rd, td):
+        """Rigidly displace the late map segment + tracking context by the
+        world transform D: X' = Rd X + td; Tcw' = Tcw o D^-1."""
+        slam.flush_pipeline()
+        st = slam.map
+        Rd = jnp.asarray(Rd, jnp.float32)
+        td = jnp.asarray(td, jnp.float32)
+        late_kf = st.kf_valid & (st.kf_frame_id > cutoff_fid)
+        R2 = jnp.einsum("kij,lj->kil", st.kf_Rcw, Rd.T)
+        t2 = st.kf_tcw - jnp.einsum("kij,j->ki", R2, td)
+        ref = jnp.clip(st.pt_ref_kf, 0, st.K - 1)
+        late_pt = st.pt_valid & (st.pt_ref_kf >= 0) & late_kf[ref]
+        X2 = st.pt_xyz @ Rd.T + td
+        # markers observed ONLY by late keyframes move too (mid-stretch
+        # false-positive promotions); the start-area markers stay
+        obs = (st.kf_mk_slot >= 0) & st.kf_mk_valid & st.kf_valid[:, None]
+        M = st.M
+        any_obs = jnp.zeros((M,), bool).at[
+            jnp.where(obs, st.kf_mk_slot, M)
+        ].max(obs, mode="drop")
+        early_obs = jnp.zeros((M,), bool).at[
+            jnp.where(obs & ~late_kf[:, None], st.kf_mk_slot, M)
+        ].max(obs & ~late_kf[:, None], mode="drop")
+        late_mk = st.mk_valid & any_obs & ~early_obs
+        mk_R2 = jnp.einsum("ij,mjk->mik", Rd, st.mk_Rwm)
+        mk_t2 = st.mk_twm @ Rd.T + td
+        slam.map = st._replace(
+            kf_Rcw=jnp.where(late_kf[:, None, None], R2, st.kf_Rcw),
+            kf_tcw=jnp.where(late_kf[:, None], t2, st.kf_tcw),
+            pt_xyz=jnp.where(late_pt[:, None], X2, st.pt_xyz),
+            mk_Rwm=jnp.where(late_mk[:, None, None], mk_R2, st.mk_Rwm),
+            mk_twm=jnp.where(late_mk[:, None], mk_t2, st.mk_twm),
+        )
+        Rl, tl = slam.last_pose
+        Rl2 = Rl @ Rd.T
+        slam.last_pose = (Rl2, tl - Rl2 @ td)
+
     slam = SlamSystem(cfg)
-    for i, img in enumerate(drifted):
+    Rd = so3_exp(np.asarray([0.0, -0.06, 0.0], np.float32))
+    td = np.asarray([0.65, 0.0, 0.2], np.float32)
+    for i, img in enumerate(imgs):
         slam.track_monocular(img, ts=i / 30.0)
+        if i == 32:      # mid marker-free stretch, before the return leg
+            inject_drift(slam, cutoff_fid=18, Rd=Rd, td=td)
+    slam.flush()
     assert slam.state is TrackingState.OK
     # the revisit must produce a loop closure (marker ids from the start are
     # re-observed by a non-covisible late keyframe)
     assert slam.stats["loops_closed"] >= 1, slam.stats
-    # Loop closure's contract is START<->END consistency: after the marker-
-    # free middle stretch scale-drifts (planar monocular VO), redistributing
-    # the correction cannot restore mid-chain ground truth — but the first
-    # and last keyframes both sit in the marker-anchored region and their
+    # ... and the closed loop is stored as a PERSISTENT edge
+    # (KeyFrame::AddLoopEdge parity, reference src/KeyFrame.cc:515-525)
+    assert int(jnp.sum(slam.map.loop_valid)) >= 1
+    # Loop closure's contract is START<->END consistency: the first and
+    # last keyframes both sit in the marker-anchored region and their
     # RELATIVE pose must be right after correction.
     fids, _tss, Rs, ts_ = slam.keyframe_trajectory()
     est_c = trajectory.camera_centers(Rs, ts_)
@@ -267,11 +292,8 @@ def test_full_system_loop_closure():
                                      [poses[i][1] for i in fids])
     rel_gt = poses[fids[0]][0] @ (gt_c[-1] - gt_c[0])
     err = np.linalg.norm(rel_est - rel_gt)
-    # measured progression: 0.91 (no post-loop fusion) -> 0.72 (SearchAnd-
-    # Fuse) -> 0.63 (iterated fuse+GBA, insertion-order chain) -> 0.03-0.05
-    # (covisibility SPANNING TREE in the essential graph: chain edges no
-    # longer inject drifted temporally-adjacent measurements on revisits);
-    # 0.003 measured under the deterministic zoom-drift scenario
+    # the injected drift is |td| ~ 0.37 m; the closed loop must recover the
+    # seam to well under that
     assert err < 0.25, (err, rel_est, rel_gt)
 
 

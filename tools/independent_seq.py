@@ -22,6 +22,44 @@ import os
 import numpy as np
 
 
+def _cv2_dictionary(dict_name):
+    """cv2.aruco dictionary for the renderer. Predefined cv2 names pass
+    through; "ARUCO_MIP_25h7" (no cv2 predefined equivalent — the samsung7
+    dictionary, reference README.md:12) builds a custom cv2.aruco.Dictionary
+    from this repo's verified code table, so the RENDERER is still OpenCV's
+    independent generateImageMarker path."""
+    import cv2.aruco as ar
+
+    if dict_name == "ARUCO_MIP_25h7":
+        import sys
+
+        sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+        from orb_slam2_aruco_tpu.ops.aruco import dictionary as dct
+
+        d = dct.get_dictionary("ARUCO_MIP_25h7")
+        bits = np.stack([c.reshape(5, 5).astype(np.uint8) for c in d.codes])
+        byte_list = np.stack(
+            [ar.Dictionary.getByteListFromBits(b)[0] for b in bits]
+        )
+        return ar.Dictionary(byte_list, 5)
+    return ar.getPredefinedDictionary(getattr(ar, dict_name))
+
+
+def write_video(path, frames, fps=30.0):
+    """Encode frames to a video file (MJPG avi — the codec every cv2 build
+    ships) for the mono_cvcam-style --video entry point."""
+    import cv2
+
+    h, w = frames[0].shape
+    vw = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"MJPG"), fps, (w, h),
+                         isColor=False)
+    if not vw.isOpened():
+        raise RuntimeError(f"VideoWriter failed for {path}")
+    for f in frames:
+        vw.write(f)
+    vw.release()
+
+
 def build_wall(ids, marker_px=120, gap_px=60, dict_name="DICT_ARUCO_ORIGINAL",
                seed=0, cols=4):
     """Wall texture image [Hw, Ww] uint8 with markers pasted on a noise
@@ -42,7 +80,7 @@ def build_wall(ids, marker_px=120, gap_px=60, dict_name="DICT_ARUCO_ORIGINAL",
         interpolation=cv2.INTER_CUBIC,
     )
     wall = (0.55 * wall + 0.45 * tex).astype(np.uint8)
-    d = ar.getPredefinedDictionary(getattr(ar, dict_name))
+    d = _cv2_dictionary(dict_name)
     centers = {}
     for k, mid in enumerate(ids):
         r, c = divmod(k, cols)
