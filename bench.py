@@ -44,6 +44,38 @@ os.environ.setdefault(
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
 
 
+def _filter_stderr_spam():
+    """Drop the TPU plugin's cpu_aot_loader machine-feature-mismatch error
+    walls from fd 2 (hundreds of multi-KB lines per run — they bury real
+    failures in the bench tail). Everything else passes through unchanged.
+    fd-level (os.dup2) because the spam is emitted by C++ glog, not Python."""
+    import threading
+
+    real_stderr = os.dup(2)
+    r, w = os.pipe()
+    os.dup2(w, 2)
+    os.close(w)
+
+    def pump():
+        buf = b""
+        while True:
+            chunk = os.read(r, 65536)
+            if not chunk:
+                break
+            buf += chunk
+            while b"\n" in buf:
+                line, buf = buf.split(b"\n", 1)
+                if b"cpu_aot_loader" not in line:
+                    os.write(real_stderr, line + b"\n")
+        if buf and b"cpu_aot_loader" not in buf:
+            os.write(real_stderr, buf)
+
+    threading.Thread(target=pump, daemon=True).start()
+
+
+_filter_stderr_spam()
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -65,7 +97,7 @@ def main():
     # in-flight frames (tracking never blocks on control scalars)
     cfg = cfg.replace(
         aruco=cfg.aruco.__class__(detect_downsample=2),
-        tracking=cfg.tracking.__class__(pipeline_depth=3),
+        tracking=cfg.tracking.__class__(pipeline_depth=4),
     )
 
     world = synthetic.build_world(
@@ -104,12 +136,16 @@ def main():
 
     slam2 = SlamSystem(cfg)
     lat = []
+    ok_from = None
     t_all0 = time.perf_counter()
-    for img, ts in StagedSource([(f, k / 30.0) for k, f in enumerate(frames)],
-                                batch=4):
+    for j, (img, ts) in enumerate(
+        StagedSource([(f, k / 30.0) for k, f in enumerate(frames)], batch=4)
+    ):
         t0 = time.perf_counter()
         slam2.track_monocular(img, ts=ts)
         lat.append(time.perf_counter() - t0)
+        if ok_from is None and slam2.state is TrackingState.OK:
+            ok_from = j
     t_flush0 = time.perf_counter()
     slam2.flush()                              # drain in-flight frames
     jax.block_until_ready(slam2.map.pt_xyz)    # and the device queue: flush
@@ -118,8 +154,12 @@ def main():
     flush_dt = time.perf_counter() - t_flush0
     total_dt = time.perf_counter() - t_all0
     assert slam2.state is TrackingState.OK
-    lat = np.asarray(lat[4:])                  # drop init frames
-    slam_fps = (n_frames - 4) / (np.sum(lat) + flush_dt)
+    # steady-state latency: drop the monocular BOOTSTRAP (two-view init +
+    # the inline initial global BA, Tracking.cc:690-819 — a one-off ~100 ms
+    # phase the reference also pays inline) plus two settle frames
+    drop = (ok_from if ok_from is not None else 4) + 2
+    lat = np.asarray(lat[drop:])
+    slam_fps = (n_frames - drop) / (np.sum(lat) + flush_dt)
     p50 = float(np.percentile(lat, 50) * 1000)
     p90 = float(np.percentile(lat, 90) * 1000)
 
@@ -147,7 +187,7 @@ def main():
         StagedSource([(frames[k % n_frames], 0.0) for k in range(chunk)],
                      batch=chunk),
         chunk=chunk))
-    n_timed = 256
+    n_timed = 1024
     t0 = time.perf_counter()
     emit_t = []
     for _fid, _ts, p in slam.localize_stream(

@@ -168,6 +168,12 @@ class TrackingConfig:
     loc_extrap_radius_scale: float = 2.5   # widened pass-1 search radius
                                       # multiplier for extrapolate mode
     loc_extrap_passes: int = 2        # 2 = wide seed pass + standard refine
+    loc_seed_marker_err: float = 10.0  # extrapolate-chunk SEED acceptance for
+                                       # the absolute marker pose (px mean
+                                       # corner reproj) — looser than the
+                                       # 2 px IsArucoWellTrack trust gate:
+                                       # a seed only needs to land inside
+                                       # the widened match window
                                       # pass (matches the scan path's final
                                       # accuracy contract); 1 = the wide
                                       # pass IS the final pose — halves the
@@ -207,7 +213,7 @@ class OptimConfig:
                                       # frames (the reference's detached GBA
                                       # thread, LoopClosing.cc:880)
     gba_slice_iters: int = 2          # GBA iterations per frame step
-    local_ba_slices: int = 3          # pipelined mode: the per-insert local
+    local_ba_slices: int = 2          # pipelined mode: the per-insert local
                                       # BA is sliced over this many subsequent
                                       # frames (the reference never blocks
                                       # tracking on mapping — its mbAbortBA

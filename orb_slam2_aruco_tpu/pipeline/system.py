@@ -896,9 +896,9 @@ class SlamSystem:
                 self.map, k_dev, self.cam, cfg
             )
             self._apply_point_remap(merged_to)
+            self.map = mapping.update_point_stats(self.map, cfg)
 
         def stats_plane():
-            self.map = mapping.update_point_stats(self.map, cfg)
             self.map = mapping.distinctive_descriptors(self.map, cfg, kf=k_dev)
             # marker plane measurement + possible one-shot scale correction
             self.map, s_corr = mapping.aruco_plane_update(
@@ -1012,13 +1012,16 @@ class SlamSystem:
         ba_steps = [
             (f"ba[{per}]", ba_slice(per, i == 0)) for i in range(n_slices)
         ]
+        def cull_and_detect():
+            kf_cull()
+            loop_det()
+
         return [
             ("triangulate", tri),
-            ("fuse", fuse),
-            ("stats+plane", stats_plane),
+            ("fuse+stats", fuse),
+            ("desc+plane", stats_plane),
             *ba_steps,
-            ("kf_cull", kf_cull),
-            ("loop_detect", loop_det),
+            ("kf_cull+loop", cull_and_detect),
         ]
 
     # ------------------------------------------------------------------

@@ -120,7 +120,8 @@ def _marker_obs_arrays(state: MapState, frame: Frame, slots, old=None):
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def aruco_pose_candidate(state: MapState, frame: Frame, slots,
-                         cam: Camera, cfg: SlamConfig, old=None):
+                         cam: Camera, cfg: SlamConfig, old=None,
+                         err_th=None):
     """Best camera pose implied by a single bound marker, scored by the
     reprojection of ALL bound markers (IsArucoWellTrack / marker reloc).
 
@@ -154,7 +155,8 @@ def aruco_pose_candidate(state: MapState, frame: Frame, slots,
     errs = jax.vmap(score)(Rc, tc)          # [A]
     errs = jnp.where(cand_ok, errs, 1e9)
     best = jnp.argmin(errs)
-    ok = errs[best] < cfg.aruco.well_tracked_reproj_err
+    th = cfg.aruco.well_tracked_reproj_err if err_th is None else err_th
+    ok = errs[best] < th
     return ok, Rc[best], tc[best], errs[best]
 
 
@@ -542,10 +544,25 @@ def track_batch(
 
         def seed_one(frame, Rp, tp):
             slots = bind_markers(state, frame)
-            old = old_marker_flags(state, slots,
-                                   cfg.loop.min_kfs_between_loops)
+            # localization-only serving tracks against a FINAL map: the
+            # old-marker exclusion exists so SLAM-mode tracking does not
+            # anchor to pre-loop-correction marker poses (mvbOldAruco,
+            # Tracking.cc:856-908) — but here every marker is "old" by
+            # construction (last observed during the mapping pass), the map
+            # is consistent, and the ABSOLUTE marker seed is precisely what
+            # bounds the extrapolation error. Without it a velocity
+            # reversal mid-chunk fails the whole chunk into the per-frame
+            # rewind path (~10x slower serving).
+            old = jnp.zeros_like(slots, dtype=bool)
+            # SEED gate, not the IsArucoWellTrack trust-as-final-pose gate:
+            # the seed only needs to land within the widened match window
+            # (~25 px) — the full local-map LM refine follows. The tight
+            # 2 px gate dropped ~5 frames per sweep whose extrapolated seed
+            # was also stale (the turn), failing whole chunks into the
+            # per-frame rewind path.
             ok_a, R_a, t_a, _ = aruco_pose_candidate(
-                state, frame, slots, cam, cfg, old=old
+                state, frame, slots, cam, cfg, old=old,
+                err_th=cfg.tracking.loc_seed_marker_err,
             )
             R0 = jnp.where(ok_a, R_a, Rp)
             t0 = jnp.where(ok_a, t_a, tp)
