@@ -120,9 +120,20 @@ class SlamSystem:
         pair of DEVICE arrays whose computation may still be in flight (no
         host sync), and LOST/keyframe decisions lag by up to `depth` frames;
         the trajectory records carry the authoritative per-frame state."""
-        frame = make_frame(jnp.asarray(img), self.cam, self.cfg)
         fid = self.frame_id
         self.frame_id += 1
+        if (
+            self.state is TrackingState.OK
+            and self.cfg.tracking.pipeline_depth > 0
+            and not self.localization_only
+            and not self._in_rewind
+        ):
+            # pipelined fast path: frontend + cascade fused into ONE
+            # dispatch (tracking.track_full_img) — on relay-attached TPUs
+            # every dispatch pays a per-call round trip
+            return self._track_pipelined(jnp.asarray(img), fid, ts,
+                                         is_img=True)
+        frame = make_frame(jnp.asarray(img), self.cam, self.cfg)
         return self._step_frame(frame, fid, ts)
 
     def _step_frame(self, frame: Frame, fid: int, ts: float):
@@ -603,7 +614,8 @@ class SlamSystem:
     # ------------------------------------------------------------------
     # pipelined SLAM-mode tracking (cfg.tracking.pipeline_depth > 0)
     # ------------------------------------------------------------------
-    def _track_pipelined(self, frame: Frame, fid: int, ts: float):
+    def _track_pipelined(self, frame, fid: int, ts: float,
+                         is_img: bool = False):
         """Dispatch this frame's full tracking step and DEFER the control-
         vector readback: the device-side tracking context (pose, velocity,
         last-frame features, visibility counters, reference keyframe) chains
@@ -625,14 +637,24 @@ class SlamSystem:
             self._ref_kf_dev if self._ref_kf_dev is not None
             else jnp.asarray(self.ref_kf, jnp.int32)
         )
-        out = tracking.track_full(
-            self.map, frame, R_pred, t_pred,
-            self.last_pose[0], self.last_pose[1],
-            self.last_frame.kp_uv, self.last_frame.desc, self.last_obs,
-            self.last_frame.kp_valid, self.last_frame.kp_octave,
-            self.last_frame.kp_angle,
-            ref_dev, self.cam, cfg,
-        )
+        if is_img:
+            frame, out = tracking.track_full_img(
+                self.map, frame, R_pred, t_pred,
+                self.last_pose[0], self.last_pose[1],
+                self.last_frame.kp_uv, self.last_frame.desc, self.last_obs,
+                self.last_frame.kp_valid, self.last_frame.kp_octave,
+                self.last_frame.kp_angle,
+                ref_dev, self.cam, cfg,
+            )
+        else:
+            out = tracking.track_full(
+                self.map, frame, R_pred, t_pred,
+                self.last_pose[0], self.last_pose[1],
+                self.last_frame.kp_uv, self.last_frame.desc, self.last_obs,
+                self.last_frame.kp_valid, self.last_frame.kp_octave,
+                self.last_frame.kp_angle,
+                ref_dev, self.cam, cfg,
+            )
         try:
             out.ctrl.copy_to_host_async()
         except AttributeError:      # CPU arrays lack the async-copy hook

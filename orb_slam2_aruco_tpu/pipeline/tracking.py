@@ -807,6 +807,31 @@ def track_full(
                            ref_kf, cam, cfg)
 
 
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def track_full_img(
+    state: MapState,
+    img,                     # [H, W] raw frame
+    R_pred, t_pred,
+    R_last, t_last,
+    last_uv, last_desc, last_obs, last_valid, last_octave, last_angle,
+    ref_kf,
+    cam: Camera,
+    cfg: SlamConfig,
+):
+    """Frontend + full tracking cascade fused into ONE dispatch:
+    (make_frame, track_full) as a single device program. On relay-attached
+    TPUs every dispatch pays a per-call round trip that triples in bad
+    weather — the pipelined SLAM path uses this to halve its per-frame
+    relay interactions. Returns (frame, FullTrackResult)."""
+    frame = make_frame(img, cam, cfg)
+    out = track_full(
+        state, frame, R_pred, t_pred, R_last, t_last,
+        last_uv, last_desc, last_obs, last_valid, last_octave, last_angle,
+        ref_kf, cam, cfg,
+    )
+    return frame, out
+
+
 def _result_from_track(
     state: MapState,
     frame: Frame,
